@@ -1,0 +1,176 @@
+"""Device ops vs trusted host references (scipy.ndimage, numpy)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from tee_optical_flow_tpu.ops.morphology import (
+    binary_fill_holes, clean_binary_stack, connected_components,
+    component_sizes, first_area_series, largest_centroid_series,
+    moving_avg_mask, remove_small_objects,
+)
+from tee_optical_flow_tpu.ops.otsu import threshold_otsu, otsu_mask_stack
+from tee_optical_flow_tpu.ops.histogram import masked_histogram, masked_percentile, carry_forward
+from tee_optical_flow_tpu.ops.smoothing import savgol_filter_np, savgol_filter_jnp
+from tee_optical_flow_tpu.ops.imaging import rgb2gray, img2uint8_jnp
+
+
+def _random_blobs(rng, h=40, w=40, p=0.4, smooth=2):
+    x = rng.uniform(size=(h, w))
+    x = ndimage.gaussian_filter(x, smooth)
+    return x > np.quantile(x, 1 - p)
+
+
+def test_connected_components_matches_scipy(rng):
+    for _ in range(5):
+        mask = _random_blobs(rng)
+        ids = np.asarray(connected_components(mask, connectivity=2))
+        ref_lbl, ref_n = ndimage.label(mask, structure=np.ones((3, 3)))
+        # same partition: count distinct labels and compare component pixel sets
+        fg = mask.nonzero()
+        ours = ids[fg]
+        theirs = ref_lbl[fg]
+        assert len(np.unique(ours)) == ref_n
+        # bijection check: each of our labels maps to exactly one scipy label
+        pairs = set(zip(ours.tolist(), theirs.tolist()))
+        assert len(pairs) == ref_n
+
+
+def test_component_sizes(rng):
+    mask = _random_blobs(rng)
+    ids = connected_components(mask, connectivity=2)
+    sizes = np.asarray(component_sizes(ids))
+    assert sizes[:-1].sum() == mask.sum()
+
+
+def test_remove_small_objects_matches_scipy(rng):
+    for min_size in (5, 20, 60):
+        mask = _random_blobs(rng)
+        ours = np.asarray(remove_small_objects(mask, min_size=min_size, connectivity=1))
+        lbl, n = ndimage.label(mask)  # 4-connectivity default
+        sizes = ndimage.sum(mask, lbl, range(1, n + 1))
+        keep = np.zeros_like(mask)
+        for i, s in enumerate(sizes, start=1):
+            if s >= min_size:
+                keep |= lbl == i
+        np.testing.assert_array_equal(ours, keep)
+
+
+def test_binary_fill_holes_matches_scipy(rng):
+    for _ in range(5):
+        mask = _random_blobs(rng, p=0.55)
+        ours = np.asarray(binary_fill_holes(mask))
+        ref = ndimage.binary_fill_holes(mask)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_moving_avg_mask_matches_reference_recipe(rng):
+    arr = rng.uniform(size=(9, 8, 8)) > 0.5
+    ours = np.asarray(moving_avg_mask(arr, n=4, threshold=0.49))
+    # reference recipe (calculate_optical_flow.py:90-111)
+    arr2 = np.vstack([arr[:1], arr, arr[-1:], arr[-1:]]).astype(float)
+    s = np.cumsum(arr2, axis=0)
+    s[4:] = s[4:] - s[:-4]
+    avg = s[3:] / 4
+    np.testing.assert_array_equal(ours, avg > 0.49)
+    assert ours.shape == arr.shape
+
+
+def test_clean_binary_stack(rng):
+    frames = np.stack([_random_blobs(rng, p=0.5) for _ in range(4)])
+    cleaned = np.asarray(clean_binary_stack(frames, min_size=30))
+    for i in range(4):
+        ref = ndimage.binary_fill_holes(frames[i])
+        lbl, n = ndimage.label(ref)
+        sizes = ndimage.sum(ref, lbl, range(1, n + 1))
+        keep = np.zeros_like(ref)
+        for j, s in enumerate(sizes, start=1):
+            if s >= 30:
+                keep |= lbl == j
+        np.testing.assert_array_equal(cleaned[i], keep)
+
+
+def test_largest_centroid_series(rng):
+    # two blobs, known larger one
+    mask = np.zeros((3, 30, 30), bool)
+    mask[:, 2:6, 2:6] = True      # 16 px
+    mask[:, 10:22, 10:22] = True  # 144 px
+    cents, areas, valid = largest_centroid_series(mask)
+    assert np.all(np.asarray(valid))
+    np.testing.assert_allclose(np.asarray(areas), 144)
+    np.testing.assert_allclose(np.asarray(cents), [[15.5, 15.5]] * 3)
+
+
+def test_first_area_series():
+    mask = np.zeros((1, 20, 20), bool)
+    mask[0, 1:3, 1:3] = True    # first in scan order: 4 px
+    mask[0, 10:18, 10:18] = True  # larger but later: 64 px
+    areas, valid = first_area_series(mask)
+    assert int(areas[0]) == 4 and bool(valid[0])
+
+
+def test_otsu_separates_two_level():
+    img = np.concatenate([np.full(500, 10.0), np.full(500, 200.0)])
+    img += np.linspace(-1, 1, 1000)
+    img = img.reshape(25, 40)
+    t = float(threshold_otsu(img))
+    # any split between the clusters maximizes variance; ties break low, so
+    # t sits at the top edge of the lower cluster — the mask must separate
+    np.testing.assert_array_equal(img > t, img > 100.0)
+
+
+def test_otsu_stack_shapes(rng):
+    frames = rng.uniform(size=(3, 16, 16)).astype(np.float32)
+    masks = np.asarray(otsu_mask_stack(frames))
+    assert masks.shape == frames.shape and masks.dtype == bool
+
+
+def test_masked_histogram_matches_numpy(rng):
+    frames = rng.normal(size=(4, 12, 12)).astype(np.float32)
+    frames[frames < -0.5] = 0.0  # inject masked-out zeros
+    gmin, gmax = frames.min(), frames.max()
+    ours = np.asarray(masked_histogram(frames, float(gmin), float(gmax), nbins=50))
+    for i in range(4):
+        nz = frames[i][frames[i] != 0]
+        ref, _ = np.histogram(nz, bins=50, range=(gmin, gmax))
+        np.testing.assert_array_equal(ours[i], ref)
+
+
+def test_masked_percentile_matches_numpy(rng):
+    frames = rng.normal(size=(5, 20, 20)).astype(np.float32)
+    frames[frames < 0] = 0.0
+    vals, valid = masked_percentile(frames, np.array([1.0, 50.0, 99.0]))
+    vals = np.asarray(vals)
+    for i in range(5):
+        nz = frames[i][frames[i] != 0]
+        ref = np.percentile(nz, [1, 50, 99])
+        np.testing.assert_allclose(vals[i], ref, rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(valid))
+
+
+def test_carry_forward():
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    valid = np.array([False, True, False, True])
+    out = carry_forward(vals, valid, 9.0)
+    np.testing.assert_allclose(out, [9.0, 2.0, 2.0, 4.0])
+
+
+def test_savgol_matches_scipy(rng):
+    from scipy.signal import savgol_filter as scipy_savgol
+    x = np.cumsum(rng.normal(size=(50, 2)), axis=0)
+    ours = savgol_filter_np(x, 11, 4)
+    ref = scipy_savgol(x, 11, 4, axis=0)
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+    # device path runs float32; 0.05 abs tolerance on O(10) values is ample
+    # for its only use (centroid-track smoothing in pixels)
+    dev = np.asarray(savgol_filter_jnp(x, 11, 4))
+    np.testing.assert_allclose(dev, ref, atol=0.05)
+
+
+def test_rgb2gray_and_uint8(rng):
+    img = (rng.uniform(size=(2, 8, 8, 3)) * 255).astype(np.uint8)
+    gray = np.asarray(rgb2gray(img))
+    ref = (img / 255.0) @ np.array([0.2125, 0.7154, 0.0721])
+    np.testing.assert_allclose(gray, ref, atol=1e-5)
+    u8 = np.asarray(img2uint8_jnp(gray[0]))
+    assert u8.min() >= 0 and u8.max() <= 255
