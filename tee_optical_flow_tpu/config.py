@@ -206,15 +206,18 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     art_sampling_rate: int = 125
     cvp_sampling_rate: int = 125
     pap_sampling_rate: int = 125
-    # TV-L1 solver internals (OpenCV DualTVL1 defaults)
+    # TV-L1 solver internals (OpenCV DualTVL1 defaults: tau .25, theta .3,
+    # 5 scales at step 0.8, 5 warps, 10x30 iterations, 5x5 median)
     tvl1_tau: float = 0.25
     tvl1_theta: float = 0.3
     tvl1_nscales: int = 5
-    tvl1_zoom_factor: float = 0.5
+    tvl1_zoom_factor: float = 0.8
     tvl1_warps: int = 5
-    tvl1_iterations: int = 30
+    tvl1_outer_iterations: int = 10
+    tvl1_inner_iterations: int = 30
     tvl1_epsilon: float = 0.01
     tvl1_gamma: float = 0.0
+    tvl1_median_filtering: bool = True
     tvl1_use_pallas: bool = True
     # DeepFlow-style variational refinement
     deepflow_alpha: float = 1.0

@@ -1,0 +1,167 @@
+"""Duality-based TV-L1 optical flow (Zach-Pock-Bischof), batched over
+frame pairs — the framework's north-star kernel.
+
+Replaces OpenCV's C++ DualTVL1 solver (reference
+calculate_optical_flow.py:564-578, :627-645) with a jitted multi-scale
+primal-dual program over the whole clip at once: every step is an
+elementwise/stencil op over (B, H, W) arrays that XLA fuses aggressively,
+so the classic per-pair Python loop with per-pair GPU upload/download
+disappears entirely.
+
+Algorithm and defaults follow OpenCV's implementation (tau=0.25,
+lambda=0.15, theta=0.3, nscales=5, warps=5, scale step 0.8, 10 outer x 30
+inner iterations, 5x5 median filtering of the flow at each outer
+iteration), which in turn follows Sanchez et al., "TV-L1 Optical Flow
+Estimation", IPOL 2013. Intensities are expected in [0, 255] — the
+smoothness weight lambda is calibrated to that range.
+
+A fixed iteration count replaces OpenCV's epsilon early-stop: on TPU a
+data-dependent loop would serialize the batch on the slowest pair and
+break fusion; iteration counts are config knobs instead
+(OpticalFlowCalculationConfig.tvl1_*).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .warp import (
+    bilinear_warp, build_pyramid, centered_gradient, divergence,
+    forward_diff, median_filter_5x5, pyramid_shapes, resize_bilinear,
+)
+
+_GRAD_EPS = 1e-10
+
+
+def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
+                inner_iters, use_median):
+    """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
+    i1x, i1y = centered_gradient(i1)
+    l_t = lam * theta
+    taut = tau / theta
+
+    p11 = jnp.zeros_like(u)
+    p12 = jnp.zeros_like(u)
+    p21 = jnp.zeros_like(u)
+    p22 = jnp.zeros_like(u)
+
+    def warp_body(_, carry):
+        u, v, p11, p12, p21, p22 = carry
+        i1w = bilinear_warp(i1, u, v)
+        i1wx = bilinear_warp(i1x, u, v)
+        i1wy = bilinear_warp(i1y, u, v)
+        grad = i1wx * i1wx + i1wy * i1wy
+        rho_c = i1w - i1wx * u - i1wy * v - i0
+
+        def outer_body(_, carry):
+            u, v, p11, p12, p21, p22 = carry
+            if use_median:
+                u = median_filter_5x5(u)
+                v = median_filter_5x5(v)
+
+            def inner_body(_, carry):
+                u, v, p11, p12, p21, p22 = carry
+                rho = rho_c + i1wx * u + i1wy * v
+                th = l_t * grad
+                # soft-thresholded data step (the v-subproblem)
+                d1 = jnp.where(
+                    rho < -th, l_t * i1wx,
+                    jnp.where(rho > th, -l_t * i1wx,
+                              jnp.where(grad > _GRAD_EPS,
+                                        -rho * i1wx / jnp.maximum(grad, _GRAD_EPS),
+                                        0.0)))
+                d2 = jnp.where(
+                    rho < -th, l_t * i1wy,
+                    jnp.where(rho > th, -l_t * i1wy,
+                              jnp.where(grad > _GRAD_EPS,
+                                        -rho * i1wy / jnp.maximum(grad, _GRAD_EPS),
+                                        0.0)))
+                v1 = u + d1
+                v2 = v + d2
+                # u-subproblem: proximal TV step via the dual field
+                u = v1 + theta * divergence(p11, p12)
+                v = v2 + theta * divergence(p21, p22)
+                ux, uy = forward_diff(u)
+                vx, vy = forward_diff(v)
+                ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+                ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+                p11 = (p11 + taut * ux) / ng1
+                p12 = (p12 + taut * uy) / ng1
+                p21 = (p21 + taut * vx) / ng2
+                p22 = (p22 + taut * vy) / ng2
+                return u, v, p11, p12, p21, p22
+
+            return lax.fori_loop(0, inner_iters, inner_body,
+                                 (u, v, p11, p12, p21, p22))
+
+        return lax.fori_loop(0, outer_iters, outer_body,
+                             (u, v, p11, p12, p21, p22))
+
+    u, v, *_ = lax.fori_loop(0, warps, warp_body, (u, v, p11, p12, p21, p22))
+    return u, v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
+                     "outer_iters", "inner_iters", "use_median"))
+def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
+                    lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
+                    nscales: int = 5, zoom: float = 0.8, warps: int = 5,
+                    outer_iters: int = 10, inner_iters: int = 30,
+                    use_median: bool = True) -> jnp.ndarray:
+    """Dense flow for a batch of frame pairs.
+
+    i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
+    flow[..., 0] = dx (columns), flow[..., 1] = dy (rows).
+    """
+    i0 = i0.astype(jnp.float32)
+    i1 = i1.astype(jnp.float32)
+    b, h, w = i0.shape
+    shapes = pyramid_shapes(h, w, nscales, zoom)
+    pyr0 = build_pyramid(i0, shapes)
+    pyr1 = build_pyramid(i1, shapes)
+
+    ch, cw = shapes[-1]
+    u = jnp.zeros((b, ch, cw), jnp.float32)
+    v = jnp.zeros((b, ch, cw), jnp.float32)
+    for lvl in range(len(shapes) - 1, -1, -1):
+        u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
+                           lam=lam, tau=tau, theta=theta, warps=warps,
+                           outer_iters=outer_iters, inner_iters=inner_iters,
+                           use_median=use_median)
+        if lvl > 0:
+            nh, nw = shapes[lvl - 1]
+            sx = nw / shapes[lvl][1]
+            sy = nh / shapes[lvl][0]
+            u = resize_bilinear(u, nh, nw) * sx
+            v = resize_bilinear(v, nh, nw) * sy
+    return jnp.stack([u, v], axis=-1)
+
+
+def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray:
+    """Flow for all consecutive pairs of a (N, H, W) clip -> (N-1, H, W, 2).
+
+    The reference computes this pair-by-pair in Python
+    (calculate_optical_flow.py:584-597); here the pair axis is the batch
+    axis of one compiled program.
+    """
+    params = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
+                  warps=5, outer_iters=10, inner_iters=30, use_median=True)
+    if config is not None:
+        params.update(
+            lam=config.lambda_value, tau=config.tvl1_tau,
+            theta=config.tvl1_theta, nscales=config.tvl1_nscales,
+            zoom=config.tvl1_zoom_factor, warps=config.tvl1_warps,
+            outer_iters=config.tvl1_outer_iterations,
+            inner_iters=config.tvl1_inner_iterations,
+            use_median=config.tvl1_median_filtering,
+        )
+    params.update(overrides)
+    frames = jnp.asarray(frames)
+    return tvl1_flow_pairs(frames[:-1], frames[1:], **params)

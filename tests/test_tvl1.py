@@ -1,0 +1,116 @@
+"""TV-L1 solver: warp/stencil primitives vs numpy, flow recovery of known
+synthetic displacements (the EPE contract from BASELINE.md)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from tee_optical_flow_tpu.ops.warp import (
+    bilinear_warp, centered_gradient, divergence, forward_diff,
+    gaussian_blur, median_filter_3x3, pyramid_shapes,
+)
+from tee_optical_flow_tpu.ops.tvl1 import tvl1_clip_flow, tvl1_flow_pairs
+
+# fast-but-accurate-enough solver settings for 1-core CPU CI
+FAST = dict(nscales=3, zoom=0.5, warps=3, outer_iters=2, inner_iters=15,
+            use_median=False)
+
+
+def _texture(rng, h=64, w=64, smooth=3.0):
+    img = ndimage.gaussian_filter(rng.uniform(size=(h, w)), smooth)
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255.0).astype(np.float32)
+
+
+def test_bilinear_warp_identity_and_shift(rng):
+    img = _texture(rng)[None]
+    zero = np.zeros_like(img)
+    out = np.asarray(bilinear_warp(img, zero, zero))
+    np.testing.assert_allclose(out, img, atol=1e-4)
+    # integer shift: warp with u=+3 should sample img shifted left by 3
+    u = np.full_like(img, 3.0)
+    out = np.asarray(bilinear_warp(img, u, zero))
+    np.testing.assert_allclose(out[0, :, :-3], img[0, :, 3:], atol=1e-3)
+
+
+def test_gradient_and_divergence_adjoint(rng):
+    f = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    p1 = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    p2 = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    gx, gy = forward_diff(f)
+    div = divergence(p1, p2)
+    # <grad f, p> == -<f, div p> (discrete adjoint identity)
+    lhs = float(np.sum(np.asarray(gx) * p1 + np.asarray(gy) * p2))
+    rhs = float(-np.sum(f * np.asarray(div)))
+    assert abs(lhs - rhs) < 1e-2
+
+
+def test_centered_gradient_linear_ramp():
+    h, w = 12, 12
+    ramp = np.tile(np.arange(w, dtype=np.float32), (h, 1))[None]
+    dx, dy = centered_gradient(ramp)
+    np.testing.assert_allclose(np.asarray(dx)[0, :, 1:-1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-5)
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    img = _texture(rng)[None]
+    out = np.asarray(gaussian_blur(img, 1.2))
+    assert abs(out.mean() - img.mean()) < 0.5
+    assert out.std() < img.std()
+
+
+def test_median_filter_removes_speckle(rng):
+    img = np.full((1, 16, 16), 5.0, np.float32)
+    img[0, 8, 8] = 100.0
+    out = np.asarray(median_filter_3x3(img))
+    assert out[0, 8, 8] == 5.0
+
+
+def test_pyramid_shapes():
+    shapes = pyramid_shapes(128, 96, nscales=5, zoom=0.5)
+    assert shapes[0] == (128, 96)
+    assert shapes[1] == (64, 48)
+    assert all(h >= 16 and w >= 16 for h, w in shapes)
+
+
+def test_tvl1_recovers_subpixel_shift(rng):
+    """EPE contract: known 0.6/-0.4 px shift recovered under 0.15 px."""
+    img = _texture(rng, 64, 64)
+    dx, dy = 0.6, -0.4
+    shifted = ndimage.shift(img, (dy, dx), order=3, mode="nearest")
+    flow = np.asarray(tvl1_flow_pairs(img[None], shifted[None], **FAST))[0]
+    interior = flow[8:-8, 8:-8]
+    epe = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(epe) < 0.15, f"median EPE {np.median(epe):.3f}"
+
+
+def test_tvl1_recovers_multi_pixel_shift_via_pyramid(rng):
+    img = _texture(rng, 96, 96, smooth=4.0)
+    dx, dy = 5.0, 3.0
+    shifted = ndimage.shift(img, (dy, dx), order=3, mode="nearest")
+    flow = np.asarray(tvl1_flow_pairs(
+        img[None], shifted[None], nscales=4, zoom=0.5, warps=4,
+        outer_iters=3, inner_iters=15, use_median=False))[0]
+    interior = flow[16:-16, 16:-16]
+    epe = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(epe) < 0.5, f"median EPE {np.median(epe):.3f}"
+
+
+def test_tvl1_clip_flow_batches_pairs(rng):
+    f0 = _texture(rng, 48, 48)
+    f1 = ndimage.shift(f0, (0.0, 1.0), order=3, mode="nearest")
+    f2 = ndimage.shift(f0, (0.0, 2.0), order=3, mode="nearest")
+    clip = np.stack([f0, f1, f2])
+    flow = np.asarray(tvl1_clip_flow(clip, **FAST))
+    assert flow.shape == (2, 48, 48, 2)
+    # each pair moved +1 px in x
+    for i in range(2):
+        assert abs(np.median(flow[i, 8:-8, 8:-8, 0]) - 1.0) < 0.2
+        assert abs(np.median(flow[i, 8:-8, 8:-8, 1])) < 0.2
+
+
+def test_tvl1_zero_motion_is_zero(rng):
+    img = _texture(rng, 48, 48)
+    flow = np.asarray(tvl1_flow_pairs(img[None], img[None], **FAST))[0]
+    assert np.abs(flow).max() < 0.05
