@@ -1,0 +1,228 @@
+"""DICOM -> masks -> dense flow -> HDF5: the production pipeline.
+
+Parity with reference process_video (calculate_optical_flow.py:478-625)
+with the frame-sequential hot loops re-expressed as whole-clip device
+programs:
+
+  * SAM/otsu masks: one batched inference/threshold pass (flow/segment.py);
+  * saliency or grayscale prep: one vmapped kernel over frames;
+  * TV-L1 / DeepFlow: all N-1 pairs solved in one jitted multi-scale
+    program (ops/tvl1.py, ops/deepflow.py) — the reference's per-pair
+    GpuMat upload/calc/download boundary does not exist here;
+  * WASE background compensation: the reference subtracts, per flow frame,
+    the mean of the frame's flow over every nonzero entry of the *entire*
+    clip's background mask stack (calculate_optical_flow.py:649-659);
+    algebraically that is sum(flow * B)/count with B = sum_n bkgd_n, which
+    is what the device kernel computes (O(HW) per pair instead of O(NHW));
+  * schema quirks preserved: duplicate-last-flow-frame (:599), flow scaled
+    by pixel_spacing*frame_rate (:600), echo stored as rgb2gray floats.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    OpticalFlowCalculationConfig, default_optical_flow_config,
+)
+from ..exceptions import ConfigurationError, DICOMReadError, OpticalFlowCalculationError
+from ..io.dicom import extract_metadata, read_dicom_clip
+from ..io.hdf5 import save_optical_flow_hdf5
+from ..io.waveforms import load_all_waveforms
+from ..ops.deepflow import deepflow_clip_flow
+from ..ops.imaging import img2uint8_jnp, rgb2gray
+from ..ops.saliency import fine_grained_saliency
+from ..ops.tvl1 import tvl1_clip_flow
+from ..utils import trace_stage
+from .segment import clean_mask, predict_movie, predict_movie_thres
+
+logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _wase_background(flow_pairs: jnp.ndarray, bkgd_stack: jnp.ndarray) -> jnp.ndarray:
+    """Per-pair scalar background = mean of flow over nonzero entries of the
+    whole clip's bkgd masks (reference semantics, see module docstring).
+    flow_pairs: (P, H, W, 2); bkgd_stack: (N, H, W, 2) bool."""
+    b_sum = jnp.sum(bkgd_stack.astype(jnp.float32), axis=0)  # (H, W, 2)
+
+    def one(fl):
+        nz = (fl != 0).astype(jnp.float32)
+        total = jnp.sum(fl * b_sum)
+        count = jnp.sum(nz * b_sum)
+        return jnp.where(count > 0, total / count, 0.0)
+
+    bg = jax.vmap(one)(flow_pairs)
+    return flow_pairs - bg[:, None, None, None]
+
+
+def compute_clip_flow(images: jnp.ndarray, of_algo: str = "TVL1",
+                      config: Optional[OpticalFlowCalculationConfig] = None
+                      ) -> jnp.ndarray:
+    """(N, H, W) flow-input images -> (N-1, H, W, 2) flow, on device."""
+    config = config or default_optical_flow_config()
+    algo = of_algo.lower()
+    if algo == "tvl1":
+        return tvl1_clip_flow(images, config=config)
+    if algo == "deepflow":
+        return deepflow_clip_flow(images, config=config)
+    raise OpticalFlowCalculationError("OF_algo only supports deepflow or TVL1")
+
+
+def process_video(dcm_path: str, save_path: str,
+                  segmentor_model: Optional[Callable] = None,
+                  verbose: bool = True, mode: str = "A4C",
+                  bkgd_comp: str = "none", flipLR: bool = False,
+                  no_saliency: bool = False, OF_algo: str = "TVL1",
+                  save_mask_subset: Optional[List[str]] = None,
+                  include_waveforms: bool = False,
+                  waveform_folder: Optional[str] = None,
+                  config: Optional[OpticalFlowCalculationConfig] = None,
+                  _clip_override: Optional[np.ndarray] = None,
+                  _metadata_override: Optional[Dict] = None) -> None:
+    """Full DICOM -> HDF5 production for one clip.
+
+    ``_clip_override``/``_metadata_override`` allow driving the pipeline
+    from an in-memory (N, H, W, 3) uint8 clip (tests, non-DICOM sources);
+    all other behavior matches the reference entry point.
+    """
+    if config is None:
+        config = default_optical_flow_config()
+
+    # reference's mode/flag validation (:509-517)
+    if mode == "otsu":
+        if bkgd_comp != "none":
+            raise ConfigurationError(
+                f"bkgd_comp {bkgd_comp} is not supported in mode=otsu, "
+                "can only support bkgd_comp=none")
+        if save_mask_subset is not None:
+            raise ConfigurationError("In mode=otsu, save_mask_subset must be None")
+    if bkgd_comp not in ("WASE", "none"):
+        raise OpticalFlowCalculationError(
+            f"bkgd_comp value must be [WASE, none], got {bkgd_comp}!")
+
+    # --- read + metadata (host) ---
+    with trace_stage("dicom_read"):
+        if _clip_override is not None:
+            nparr = np.asarray(_clip_override)
+            ds = None
+            metadata = dict(_metadata_override or {
+                "pixel_spacing": None, "frame_rate": None,
+                "R_times": None, "R_wave_data_present": False})
+        else:
+            ds, nparr = read_dicom_clip(dcm_path)
+            metadata = extract_metadata(ds, verbose)
+
+    pixel_spacing = metadata.get("pixel_spacing")
+    frame_rate = metadata.get("frame_rate")
+    conversion_factor = (1.0 if pixel_spacing is None or frame_rate is None
+                         else pixel_spacing * frame_rate)
+    if flipLR:
+        nparr = np.flip(nparr, axis=2)
+    nframes = nparr.shape[0]
+    if verbose:
+        logger.info("Pixel data obtained, of shape: %s", nparr.shape)
+
+    # --- masks (device, batched) ---
+    with trace_stage("segmentation"):
+        if mode in ("A4C", "RVIO_2class", "MouseRV_A4C"):
+            if segmentor_model is None:
+                raise ConfigurationError(f"mode={mode} requires a segmentor model")
+            mask_dict = predict_movie(nparr, segmentor_model, mode=mode,
+                                      verbose=verbose, config=config)
+        elif mode == "otsu":
+            mask_dict = predict_movie_thres(nparr, verbose=verbose, config=config)
+        else:
+            raise ConfigurationError(
+                f"Input for mode must be [A4C, otsu, RVIO_2class, MouseRV_A4C], not {mode}.")
+
+    # --- flow input prep (device, batched over frames) ---
+    with trace_stage("flow_input_prep"):
+        gray = rgb2gray(jnp.asarray(nparr))
+        if no_saliency:
+            # per-frame img2uint8 (reference :586-588 normalizes each frame)
+            images = jax.vmap(img2uint8_jnp)(gray)
+        else:
+            images = fine_grained_saliency(gray)
+
+    # --- flow (device, all pairs at once) ---
+    with trace_stage("optical_flow"):
+        flow_pairs = compute_clip_flow(images, OF_algo, config)
+        if bkgd_comp == "WASE":
+            flow_pairs = _wase_background(
+                flow_pairs, jnp.asarray(mask_dict["bkgd"]))
+        flow_pairs = np.asarray(flow_pairs)
+
+    # duplicate last flow frame to clip length, convert units (:599-600)
+    flow_arr = np.concatenate([flow_pairs, flow_pairs[-1:]], axis=0)
+    flow_arr = flow_arr * conversion_factor
+
+    # --- waveforms (host) ---
+    waveform_results: Dict = {}
+    if include_waveforms:
+        with trace_stage("waveforms"):
+            waveform_results = load_all_waveforms(
+                dcm_path, waveform_folder, config, verbose)
+        ecg_exists = waveform_results.get("ecg", (False, None))[0]
+        art_exists = waveform_results.get("art", (False, None))[0]
+        if not ecg_exists and not art_exists:
+            include_waveforms = False
+
+    # --- persist (host) ---
+    patient_id = ""
+    heart_rate = 0
+    if ds is not None:
+        patient_id = str(ds.get((0x0010, 0x0020), "") or "")
+        hr = ds.get((0x0018, 0x1088))
+        heart_rate = hr if hr is not None else 0
+    with trace_stage("hdf5_write"):
+        echo_gray = np.asarray(gray)
+        save_optical_flow_hdf5(
+            save_path, flow_arr, echo_gray, mask_dict,
+            {**metadata, "nframes": nframes},
+            waveform_results, mode=mode, no_saliency=no_saliency,
+            include_waveforms=include_waveforms, patient_id=patient_id,
+            heart_rate=heart_rate,
+            sampling_rates={"ecg": config.ecg_sampling_rate,
+                            "art": config.art_sampling_rate,
+                            "cvp": config.cvp_sampling_rate,
+                            "pap": config.pap_sampling_rate},
+            save_mask_subset=save_mask_subset, verbose=verbose)
+
+
+def process_folder(dcm_dir: str, save_dir: str,
+                   segmentor_model: Optional[Callable] = None,
+                   nchunks: int = 1, chunk_index: int = 0,
+                   recalculate: bool = False, verbose: bool = False,
+                   **process_kwargs) -> List[str]:
+    """Shard a folder of DICOMs and process one chunk, accumulating errors
+    instead of dying (reference process_folder,
+    calculate_optical_flow.py:243-290). Returns the list of failed paths."""
+    from ..utils import safe_makedir
+
+    safe_makedir(save_dir)
+    files = sorted(f for f in os.listdir(dcm_dir) if f.lower().endswith(".dcm"))
+    chunks = np.array_split(np.asarray(files, dtype=object), nchunks)
+    my_files = list(chunks[chunk_index]) if chunk_index < len(chunks) else []
+
+    errors: List[str] = []
+    for fname in my_files:
+        dcm_path = os.path.join(dcm_dir, fname)
+        save_path = os.path.join(save_dir, fname[:-4] + ".hdf5")
+        if os.path.exists(save_path) and not recalculate:
+            if verbose:
+                logger.info("%s exists, skipping", save_path)
+            continue
+        try:
+            process_video(dcm_path, save_path, segmentor_model,
+                          verbose=verbose, **process_kwargs)
+        except Exception as exc:  # per-file isolation (reference :276-284)
+            logger.error("Error processing %s: %s", dcm_path, exc)
+            errors.append(dcm_path)
+    return errors

@@ -1,0 +1,159 @@
+"""ViT-Det image encoder (SAM vit_b / vit_l / vit_h) in Flax, NHWC.
+
+Parity with reference finetune-SAM/models/sam/modeling/image_encoder.py:
+16x16 patch embed, absolute position embedding, transformer blocks with
+windowed attention (window 14) except at the global-attention indexes,
+decomposed relative position bias (:246-422), optional PEFT adapters in
+each block (:193-197, :226-242), and the 256-d neck.
+
+The reference's manual 2-GPU block placement (image_encoder.py:99-104,
+forward device hops :133-139) is intentionally absent: on TPU the same
+capability is a mesh sharding of the block weights (parallel/), not
+device-pinned Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import Adapter, LayerNorm2d, MLPBlock
+from .tinyvit import _window_partition, _window_unpartition
+
+
+def _rel_pos_embed(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """Select (and if needed linearly resize) relative position embeddings
+    for a q/k size pair -> (q_size, k_size, head_dim)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear")
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+class RelPosAttention(nn.Module):
+    """MHA with decomposed relative position bias. Input (B, H, W, C)."""
+
+    dim: int
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: Tuple[int, int] = (14, 14)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, heads, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+
+        if self.use_rel_pos:
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+            rh = _rel_pos_embed(rel_h, h, h)  # (h, h, hd)
+            rw = _rel_pos_embed(rel_w, w, w)  # (w, w, hd)
+            qr = q.reshape(b, self.num_heads, h, w, head_dim)
+            bias_h = jnp.einsum("byhwc,hkc->byhwk", qr, rh)
+            bias_w = jnp.einsum("byhwc,wkc->byhwk", qr, rw)
+            bias = bias_h[..., :, None] + bias_w[..., None, :]
+            attn = attn + bias.reshape(b, self.num_heads, h * w, h * w)
+
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: int = 14
+    use_adapter: bool = False
+    input_size: Tuple[int, int] = (64, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        if self.window_size > 0:
+            wins, dims = _window_partition(x, self.window_size)
+            ws = self.window_size
+            wins = wins.reshape(-1, ws, ws, c)
+            wins = RelPosAttention(self.dim, self.num_heads,
+                                   input_size=(ws, ws), dtype=self.dtype,
+                                   name="attn")(wins)
+            x = _window_unpartition(wins.reshape(-1, ws * ws, c), ws, b, h, w, dims)
+        else:
+            x = RelPosAttention(self.dim, self.num_heads,
+                                input_size=(h, w), dtype=self.dtype,
+                                name="attn")(x)
+        if self.use_adapter:
+            x = Adapter(name="space_adapter")(x)
+        x = shortcut + x
+
+        normed = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        mlp_out = MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                           name="mlp")(normed)
+        if self.use_adapter:
+            mlp_out = mlp_out + 0.5 * Adapter(
+                skip_connect=False, name="mlp_adapter")(normed)
+        return x + mlp_out
+
+
+class ImageEncoderViT(nn.Module):
+    """(B, S, S, 3) -> (B, S/16, S/16, 256)."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    adapter_blocks: Sequence[int] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="patch_embed")(x)
+        grid = self.img_size // self.patch_size
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, grid, grid, self.embed_dim))
+        x = x + pos
+
+        for i in range(self.depth):
+            ws = 0 if i in self.global_attn_indexes else self.window_size
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                      window_size=ws, use_adapter=(i in self.adapter_blocks),
+                      input_size=(grid, grid), dtype=self.dtype,
+                      name=f"block{i}")(x, train)
+
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x

@@ -1,0 +1,113 @@
+"""End-to-end SAM module + batched clip inference.
+
+Parity with reference finetune-SAM/models/sam/modeling/sam.py (Sam wrapper,
+pixel statistics, pre/postprocess) and the pipeline's inference recipe
+(evaluate_1_slice, calculate_optical_flow.py:47-88): resize frame to
+1024x1024, ImageNet-normalize, encoder -> no-prompt prompt-encoder ->
+multimask decoder -> argmax over classes -> NEAREST resize back.
+
+TPU-first: ``segment_clip`` runs the whole clip through one jitted,
+micro-batched program instead of the reference's per-frame Python loop
+with host<->device round-trips per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.imaging import IMAGENET_MEAN, IMAGENET_STD
+from .mask_decoder import MaskDecoder
+from .prompt_encoder import PromptEncoder
+from .tinyvit import TinyViT
+
+
+class Sam(nn.Module):
+    """image_encoder + prompt_encoder + mask_decoder."""
+
+    image_encoder: nn.Module
+    num_classes: int = 3
+    image_size: int = 1024
+    embed_dim: int = 256
+    use_decoder_adapter: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        grid = self.image_size // 16  # 64 for 1024
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=self.embed_dim,
+            image_embedding_size=(grid, grid),
+            input_image_size=(self.image_size, self.image_size),
+            mask_in_chans=16, dtype=self.dtype)
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=self.embed_dim,
+            num_multimask_outputs=self.num_classes,
+            use_adapter=self.use_decoder_adapter, dtype=self.dtype)
+
+    def __call__(self, images: jnp.ndarray, points=None, boxes=None,
+                 masks=None, multimask_output: bool = True,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images: (B, S, S, 3) already normalized. Returns
+        (logits (B, K, S/4, S/4), iou_pred (B, K))."""
+        embeddings = self.image_encoder(images, train=train)
+        sparse, dense = self.prompt_encoder(
+            points=points, boxes=boxes, masks=masks,
+            batch_size=images.shape[0])
+        image_pe = self.prompt_encoder.get_dense_pe()
+        return self.mask_decoder(embeddings, image_pe, sparse, dense,
+                                 multimask_output=multimask_output)
+
+    def encode(self, images, train: bool = False):
+        return self.image_encoder(images, train=train)
+
+
+def preprocess_frames(frames: jnp.ndarray, image_size: int = 1024) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (B, S, S, 3) ImageNet-normalized float32
+    (reference evaluate_1_slice: PIL resize to 1024^2, ToTensor, Normalize)."""
+    x = frames.astype(jnp.float32) / 255.0
+    x = jax.image.resize(
+        x, (x.shape[0], image_size, image_size, 3), method="bilinear")
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, int]] = None,
+                        micro_batch: int = 4) -> Callable[[np.ndarray], np.ndarray]:
+    """Build a callable (N, H, W, 3) uint8 -> (N, H, W) uint8 labels.
+
+    Frames are processed in fixed-size micro-batches under one jit (padding
+    the tail batch) so arbitrary clip lengths reuse a single compiled
+    program; the argmax'd 256x256 prediction is NEAREST-resized to the
+    original frame size, matching the reference's PIL resample
+    (calculate_optical_flow.py:85-87).
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_batch(batch_u8):
+        x = preprocess_frames(batch_u8, model.image_size)
+        logits, _ = model.apply(variables, x, multimask_output=True)
+        return jnp.argmax(logits, axis=1).astype(jnp.uint8)  # (B, 256, 256)
+
+    def segment(frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames)
+        n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        th, tw = out_hw or (h, w)
+        preds = []
+        for start in range(0, n, micro_batch):
+            chunk = frames[start:start + micro_batch]
+            pad = micro_batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            out = np.asarray(run_batch(jnp.asarray(chunk)))
+            preds.append(out[:micro_batch - pad] if pad else out)
+        pred = np.concatenate(preds, axis=0)  # (N, 256, 256)
+        # NEAREST upsample back to the clip resolution
+        yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
+        xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)
+        return pred[:, yi[:, None], xi[None, :]]
+
+    return segment

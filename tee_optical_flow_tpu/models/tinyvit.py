@@ -1,0 +1,246 @@
+"""TinyViT-5M image encoder (MobileSAM backbone) in Flax, NHWC.
+
+Architecture parity with reference finetune-SAM/models/sam/modeling/
+tiny_vit_sam.py: PatchEmbed (:59-91, two 3x3/s2 Conv+BN), MBConv stage
+(:94-132), PatchMerging with stride 1 into the 320-d stage (:135-163),
+window attention with learned per-offset attention biases (:229-301),
+TinyViTBlock = windowed attention + depthwise local conv + MLP (:304-474),
+and the 64x64x256 SAM neck (:638-654). vit_t hyperparameters are
+embed_dims [64,128,160,320], depths [2,2,6,2], heads [2,4,5,10], windows
+[7,7,14,7] (build_sam.py:66-78).
+
+TPU-first choices: NHWC layout end-to-end (no permutes around convs),
+window partition via reshape/transpose (static shapes), attention-bias
+index tables precomputed host-side, optional bfloat16 compute dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import Adapter, ConvBN, LayerNorm2d, MLPBlock, gelu
+
+
+@functools.lru_cache(maxsize=8)
+def _attention_bias_idxs(res: int) -> Tuple[np.ndarray, int]:
+    """(N, N) int table mapping token pairs to unique |offset| ids."""
+    points = list(itertools.product(range(res), range(res)))
+    offsets = {}
+    idxs = []
+    for p1 in points:
+        for p2 in points:
+            off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+            if off not in offsets:
+                offsets[off] = len(offsets)
+            idxs.append(offsets[off])
+    n = len(points)
+    return np.asarray(idxs, np.int32).reshape(n, n), len(offsets)
+
+
+class WindowAttention(nn.Module):
+    """Pre-norm multi-head attention with learned relative biases
+    (reference tiny_vit_sam.py Attention:229-301). Input (B, N, C)."""
+
+    dim: int
+    key_dim: int
+    num_heads: int
+    attn_ratio: float
+    resolution: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        d = int(self.attn_ratio * self.key_dim)
+        dh = d * self.num_heads
+        nh_kd = self.key_dim * self.num_heads
+
+        idxs, n_offsets = _attention_bias_idxs(self.resolution)
+        biases = self.param("attention_biases", nn.initializers.zeros,
+                            (self.num_heads, n_offsets))
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        qkv = nn.Dense(dh + 2 * nh_kd, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, self.num_heads, 2 * self.key_dim + d)
+        q = qkv[..., :self.key_dim]
+        k = qkv[..., self.key_dim:2 * self.key_dim]
+        v = qkv[..., 2 * self.key_dim:]
+
+        q = jnp.swapaxes(q, 1, 2)  # (B, H, N, kd)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * (self.key_dim ** -0.5)
+        attn = attn + biases[:, jnp.asarray(idxs)][None]
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, n, dh)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MBConv(nn.Module):
+    """Inverted residual conv block (reference :94-132)."""
+
+    dim: int
+    expand_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.dim * self.expand_ratio)
+        shortcut = x
+        x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = gelu(x)
+        x = ConvBN(hidden, 3, padding=1, groups=hidden, dtype=self.dtype,
+                   name="conv2")(x, train)
+        x = gelu(x)
+        x = ConvBN(self.dim, 1, dtype=self.dtype, name="conv3")(x, train)
+        return gelu(x + shortcut)
+
+
+class PatchMerging(nn.Module):
+    """1x1 expand, 3x3 depthwise (stride 1 when out_dim == 320 — the
+    MobileSAM change keeping stage 3 at 64x64), 1x1 (reference :135-163)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stride = 1 if self.out_dim in (320, 448, 576) else 2
+        x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = gelu(x)
+        x = ConvBN(self.out_dim, 3, stride=stride, padding=1,
+                   groups=self.out_dim, dtype=self.dtype, name="conv2")(x, train)
+        x = gelu(x)
+        x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv3")(x, train)
+        return x
+
+
+def _window_partition(x, ws: int):
+    """(B, H, W, C) -> (B*nH*nW, ws*ws, C), padding bottom/right if needed."""
+    b, h, w, c = x.shape
+    pad_b = (ws - h % ws) % ws
+    pad_r = (ws - w % ws) % ws
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    ph, pw = h + pad_b, w + pad_r
+    nh, nw = ph // ws, pw // ws
+    x = x.reshape(b, nh, ws, nw, ws, c)
+    x = jnp.swapaxes(x, 2, 3).reshape(b * nh * nw, ws * ws, c)
+    return x, (ph, pw, nh, nw)
+
+
+def _window_unpartition(x, ws: int, b: int, h: int, w: int, dims):
+    ph, pw, nh, nw = dims
+    c = x.shape[-1]
+    x = x.reshape(b, nh, nw, ws, ws, c)
+    x = jnp.swapaxes(x, 2, 3).reshape(b, ph, pw, c)
+    return x[:, :h, :w]
+
+
+class TinyViTBlock(nn.Module):
+    """Windowed attention + depthwise local conv + MLP (reference :304-474),
+    with optional PEFT adapters (Space/MLP, reference :426-441)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    local_conv_size: int = 3
+    use_adapter: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        res = x
+        ws = self.window_size
+        attn = WindowAttention(self.dim, self.dim // self.num_heads,
+                               self.num_heads, 1.0, ws, dtype=self.dtype,
+                               name="attn")
+        if h == ws and w == ws:
+            y = attn(x.reshape(b, h * w, c)).reshape(b, h, w, c)
+        else:
+            wins, dims = _window_partition(x, ws)
+            wins = attn(wins)
+            y = _window_unpartition(wins, ws, b, h, w, dims)
+        if self.use_adapter:
+            y2 = Adapter(name="space_adapter")(y.reshape(b, h * w, c))
+            y = y2.reshape(b, h, w, c)
+        x = res + y
+
+        pad = self.local_conv_size // 2
+        x = ConvBN(self.dim, self.local_conv_size, padding=pad,
+                   groups=self.dim, dtype=self.dtype, name="local_conv")(x, train)
+
+        tokens = x.reshape(b, h * w, c)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mlp_norm")(tokens)
+        mlp_out = MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                           name="mlp")(normed)
+        if self.use_adapter:
+            tokens = tokens + mlp_out + 0.5 * Adapter(
+                skip_connect=False, name="mlp_adapter")(tokens)
+        else:
+            tokens = tokens + mlp_out
+        return tokens.reshape(b, h, w, c)
+
+
+class TinyViT(nn.Module):
+    """vit_t SAM image encoder: (B, 1024, 1024, 3) -> (B, 64, 64, 256)."""
+
+    img_size: int = 1024
+    embed_dims: Sequence[int] = (64, 128, 160, 320)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (2, 4, 5, 10)
+    window_sizes: Sequence[int] = (7, 7, 14, 7)
+    mlp_ratio: float = 4.0
+    neck_dim: int = 256
+    adapter_stages: Sequence[int] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d0 = self.embed_dims[0]
+        x = ConvBN(d0 // 2, 3, stride=2, padding=1, dtype=self.dtype,
+                   name="patch_embed_conv1")(x, train)
+        x = gelu(x)
+        x = ConvBN(d0, 3, stride=2, padding=1, dtype=self.dtype,
+                   name="patch_embed_conv2")(x, train)
+
+        # stage 0: MBConv stack
+        for i in range(self.depths[0]):
+            x = MBConv(d0, 4.0, dtype=self.dtype, name=f"stage0_block{i}")(x, train)
+        x = PatchMerging(self.embed_dims[1], dtype=self.dtype,
+                         name="merge0")(x, train)
+
+        # stages 1-3: transformer stacks with trailing merges
+        for stage in (1, 2, 3):
+            dim = self.embed_dims[stage]
+            for i in range(self.depths[stage]):
+                x = TinyViTBlock(
+                    dim, self.num_heads[stage], self.window_sizes[stage],
+                    self.mlp_ratio, use_adapter=(stage in self.adapter_stages),
+                    dtype=self.dtype, name=f"stage{stage}_block{i}")(x, train)
+            if stage < 3:
+                x = PatchMerging(self.embed_dims[stage + 1], dtype=self.dtype,
+                                 name=f"merge{stage}")(x, train)
+
+        # SAM neck: 1x1 -> LN -> 3x3 -> LN, to 256 channels at 64x64
+        x = nn.Conv(self.neck_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(self.neck_dim, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x

@@ -1,0 +1,307 @@
+"""SAM fine-tuning loop: optax AdamW + warmup->poly, DP over the mesh.
+
+Parity with reference SingleGPU_train_finetune_noprompt.py:45-190 and the
+DDP variant (DDP_splitgpu_train_finetune_noprompt.py): same optimizer
+(AdamW, betas (0.9, 0.999), eps 1e-8, weight decay 0.1, base lr =
+lr/warmup_period), same Dice+CE loss, eval every 2 epochs with
+dice_coeff_multi_class, best-DSC checkpointing, 20-stale-epoch early stop,
+and the same tensorboard scalar names (info/lr, info/total_loss,
+info/loss_ce, info/loss_dice, eval/loss, eval/dice).
+
+The distributed design replaces DDP+gloo+manual 2-GPU split with one
+jitted step whose batch is sharded over the mesh's 'data' axis and whose
+parameters/optimizer state are replicated (optionally sharded over
+'model'); XLA inserts the gradient all-reduce that DDP did by hook.
+
+Freeze policies (reference :52-70) are parameter-tree partitions:
+  vanilla            everything trains (encoder optionally frozen)
+  adapter            only leaves under an '*adapter*' module train
+  lora               only LoRA factors train; they merge into stop-grad
+                     base weights inside the loss (models/lora.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..utils import safe_makedir
+from .losses import combined_loss, dice_coeff_multi_class
+from .schedule import warmup_poly_schedule
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# parameter partitioning (freeze policies)
+# ---------------------------------------------------------------------------
+
+def partition_params(params: Dict, trainable_pred: Callable[[Tuple[str, ...]], bool]):
+    """Split params into (trainable, frozen) trees by path predicate."""
+    flat = traverse_util.flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if trainable_pred(k)}
+    frozen = {k: v for k, v in flat.items() if not trainable_pred(k)}
+    return (traverse_util.unflatten_dict(trainable),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+def trainable_predicate(finetune_type: str, if_update_encoder: bool):
+    def pred(path: Tuple[str, ...]) -> bool:
+        joined = "/".join(str(p) for p in path).lower()
+        if finetune_type == "adapter":
+            return "adapter" in joined
+        if finetune_type == "vanilla":
+            if not if_update_encoder and path[0] == "image_encoder":
+                return False
+            return True
+        if finetune_type == "lora":
+            # base weights all frozen; LoRA factors live in their own tree
+            return False
+        raise ValueError(f"unknown finetune_type {finetune_type}")
+
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# train / eval steps
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainConfigRuntime:
+    """Resolved runtime bundle built from a TrainConfig."""
+
+    cfg: TrainConfig
+    mesh: Any
+    schedule: Callable
+    tx: optax.GradientTransformation
+
+
+def build_runtime(cfg: TrainConfig, steps_per_epoch: int,
+                  mesh=None) -> TrainConfigRuntime:
+    mesh = mesh or make_mesh(data_axis=cfg.mesh_data_axis)
+    max_iters = cfg.epochs * max(steps_per_epoch, 1)
+    schedule = (warmup_poly_schedule(cfg.lr, cfg.warmup_period, max_iters,
+                                     cfg.poly_power)
+                if cfg.warmup else lambda step: cfg.lr)
+    tx = optax.adamw(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=cfg.weight_decay)
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum)
+    return TrainConfigRuntime(cfg=cfg, mesh=mesh, schedule=schedule, tx=tx)
+
+
+def make_train_step(model, runtime: TrainConfigRuntime, *,
+                    finetune_type: str = "vanilla",
+                    if_update_encoder: bool = True,
+                    lora_merge: Optional[Callable] = None,
+                    remat: bool = False):
+    """Returns (init_state, train_step). State = (trainable, frozen,
+    batch_stats, opt_state); batch = (images (B,S,S,3) normalized,
+    labels (B,out,out) int32)."""
+    mesh = runtime.mesh
+
+    def apply_model(params, batch_stats, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        fwd = model.apply
+        if remat:
+            fwd = jax.checkpoint(fwd, static_argnums=())
+        return fwd(variables, images, multimask_output=True, train=True,
+                   mutable=["batch_stats"] if batch_stats else [])
+
+    def loss_fn(trainable, frozen, batch_stats, images, labels):
+        if finetune_type == "lora":
+            params = lora_merge(frozen, trainable)
+        else:
+            params = merge_params(trainable, frozen)
+            params = jax.tree.map(lambda x: x, params)
+        (out, mutated) = apply_model(params, batch_stats, images)
+        logits, _iou = out
+        total, ld, lc = combined_loss(logits, labels)
+        new_stats = mutated.get("batch_stats", batch_stats) if mutated else batch_stats
+        return total, (ld, lc, new_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _step(trainable, frozen, batch_stats, opt_state, images, labels):
+        (total, (ld, lc, new_stats)), grads = grad_fn(
+            trainable, frozen, batch_stats, images, labels)
+        updates, new_opt = runtime.tx.update(grads, opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        metrics = {"total_loss": total, "loss_dice": ld, "loss_ce": lc}
+        return new_trainable, new_stats, new_opt, metrics
+
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh, ndim=4)
+    lsh = batch_sharding(mesh, ndim=3)
+    train_step = jax.jit(
+        _step,
+        in_shardings=(rep, rep, rep, rep, bsh, lsh),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 2, 3),
+    )
+
+    def init_state(variables, lora_params=None):
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if finetune_type == "lora":
+            trainable = lora_params
+            frozen = params
+        else:
+            trainable, frozen = partition_params(
+                params, trainable_predicate(finetune_type, if_update_encoder))
+        opt_state = runtime.tx.init(trainable)
+
+        def put(tree):
+            # fresh buffers: the train step donates its state args, and a
+            # zero-copy device_put of caller-owned arrays would let the
+            # donation delete the caller's buffers
+            return jax.device_put(jax.tree.map(jnp.array, tree), rep)
+
+        return (put(trainable), put(frozen), put(batch_stats), put(opt_state))
+
+    return init_state, train_step
+
+
+def make_eval_step(model, runtime: TrainConfigRuntime, num_cls: int,
+                   finetune_type: str = "vanilla",
+                   lora_merge: Optional[Callable] = None):
+    mesh = runtime.mesh
+
+    def _eval(trainable, frozen, batch_stats, images, labels):
+        if finetune_type == "lora":
+            params = lora_merge(frozen, trainable)
+        else:
+            params = merge_params(trainable, frozen)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, _ = model.apply(variables, images, multimask_output=True,
+                                train=False)
+        total, ld, lc = combined_loss(logits, labels)
+        pred = jnp.argmax(logits, axis=1)
+        dsc = dice_coeff_multi_class(pred, labels, num_cls)
+        return total, dsc
+
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh, ndim=4)
+    lsh = batch_sharding(mesh, ndim=3)
+    return jax.jit(_eval, in_shardings=(rep, rep, rep, bsh, lsh),
+                   out_shardings=(rep, rep))
+
+
+# ---------------------------------------------------------------------------
+# the full loop
+# ---------------------------------------------------------------------------
+
+def train_model(model, variables, train_batches: Callable[[], Iterable],
+                val_batches: Callable[[], Iterable], cfg: TrainConfig,
+                steps_per_epoch: int, lora_params=None, lora_merge=None,
+                writer=None, mesh=None) -> Dict[str, Any]:
+    """Run the fine-tuning loop. ``train_batches``/``val_batches`` are
+    callables returning fresh iterators of (images, labels) numpy batches
+    per epoch. Returns {'variables', 'trainable', 'best_dsc', 'history'}."""
+    runtime = build_runtime(cfg, steps_per_epoch, mesh)
+    init_state, train_step = make_train_step(
+        model, runtime, finetune_type=cfg.finetune_type,
+        if_update_encoder=cfg.if_update_encoder, lora_merge=lora_merge,
+        remat=cfg.remat)
+    eval_step = make_eval_step(model, runtime, cfg.num_cls,
+                               finetune_type=cfg.finetune_type,
+                               lora_merge=lora_merge)
+
+    trainable, frozen, batch_stats, opt_state = init_state(variables, lora_params)
+
+    if writer is None:
+        try:
+            from tensorboardX import SummaryWriter
+
+            safe_makedir(os.path.join(cfg.dir_checkpoint, "log"))
+            writer = SummaryWriter(os.path.join(cfg.dir_checkpoint, "log"))
+        except Exception:
+            writer = None
+
+    best_dsc = -1.0
+    last_update_epoch = 0
+    iter_num = 0
+    history = []
+    for epoch in range(cfg.epochs):
+        epoch_loss = 0.0
+        nsteps = 0
+        t0 = time.perf_counter()
+        for images, labels in train_batches():
+            trainable, batch_stats, opt_state, metrics = train_step(
+                trainable, frozen, batch_stats, opt_state,
+                jnp.asarray(images), jnp.asarray(labels))
+            epoch_loss += float(metrics["total_loss"])
+            nsteps += 1
+            iter_num += 1
+            if writer is not None:
+                writer.add_scalar("info/lr", float(runtime.schedule(iter_num)), iter_num)
+                writer.add_scalar("info/total_loss", float(metrics["total_loss"]), iter_num)
+                writer.add_scalar("info/loss_ce", float(metrics["loss_ce"]), iter_num)
+                writer.add_scalar("info/loss_dice", float(metrics["loss_dice"]), iter_num)
+        train_loss = epoch_loss / max(nsteps, 1)
+        logger.info("Epoch %d | train loss %.4f | %.1fs", epoch, train_loss,
+                    time.perf_counter() - t0)
+
+        if epoch % cfg.eval_interval == 0:
+            eval_loss = 0.0
+            dsc = 0.0
+            n = 0
+            for images, labels in val_batches():
+                l, d = eval_step(trainable, frozen, batch_stats,
+                                 jnp.asarray(images), jnp.asarray(labels))
+                eval_loss += float(l)
+                dsc += float(d)
+                n += 1
+            eval_loss /= max(n, 1)
+            dsc /= max(n, 1)
+            if writer is not None:
+                writer.add_scalar("eval/loss", eval_loss, epoch)
+                writer.add_scalar("eval/dice", dsc, epoch)
+            logger.info("Eval Epoch %d | val loss %.4f | dsc %.4f",
+                        epoch, eval_loss, dsc)
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "eval_loss": eval_loss, "dice": dsc})
+            if dsc > best_dsc:
+                best_dsc = dsc
+                last_update_epoch = epoch
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.dir_checkpoint,
+                                {"params": merge_params(trainable, frozen)
+                                 if cfg.finetune_type != "lora" else frozen,
+                                 "batch_stats": batch_stats,
+                                 "lora": trainable if cfg.finetune_type == "lora" else None},
+                                cfg)
+            elif (epoch - last_update_epoch) > cfg.early_stop_patience:
+                logger.info("Training finished (early stop at epoch %d)", epoch)
+                break
+
+    if writer is not None:
+        writer.close()
+    final = {"params": merge_params(trainable, frozen)
+             if cfg.finetune_type != "lora" else frozen,
+             "batch_stats": batch_stats}
+    return {"variables": final, "trainable": trainable,
+            "best_dsc": best_dsc, "history": history}

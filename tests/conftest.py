@@ -7,7 +7,10 @@ real TPU is reserved for bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment may point JAX_PLATFORMS at the real
+# TPU (e.g. 'axon'), which would give bf16 matmuls, slow tunnel compiles,
+# and no virtual multi-device mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,9 +18,19 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # keep CI deterministic and fast
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# the axon sitecustomize force-registers the TPU backend at interpreter
+# start regardless of JAX_PLATFORMS; override it in-process too
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,242 @@
+"""DICOM reader round-trip and end-to-end pipeline tests (otsu path)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from tee_optical_flow_tpu.dataset import OpticalFlowDataset
+from tee_optical_flow_tpu.exceptions import ConfigurationError
+from tee_optical_flow_tpu.flow.pipeline import (
+    _wase_background, process_folder, process_video,
+)
+from tee_optical_flow_tpu.flow.segment import clean_mask, predict_movie_thres
+from tee_optical_flow_tpu.io.dicom import dcmread, extract_metadata, read_dicom_clip
+
+
+# ---------------------------------------------------------------------------
+# tiny explicit-VR-LE DICOM writer (test fixture generator)
+# ---------------------------------------------------------------------------
+
+def _el(group, elem, vr, payload: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        if len(payload) % 2:
+            payload += b"\x00"
+        return head + b"\x00\x00" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        payload += b" " if vr in (b"UI", b"LO", b"CS", b"IS", b"DS") else b"\x00"
+    return head + struct.pack("<H", len(payload)) + payload
+
+
+def write_test_dicom(path, frames: np.ndarray, frame_rate=30, pixel_spacing=0.05,
+                     rwaves=(10.0, 800.0), patient="TEST01"):
+    """frames: (N, H, W, 3) uint8."""
+    n, h, w, _ = frames.shape
+    meta = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+
+    # ultrasound regions sequence: one defined-length item with PhysicalDeltaX
+    item_body = _el(0x0018, 0x602C, b"FD", struct.pack("<d", pixel_spacing))
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(item_body)) + item_body
+    seq = _el(0x0018, 0x6011, b"SQ", item)
+
+    body = b"".join([
+        _el(0x0010, 0x0020, b"LO", patient.encode()),
+        _el(0x0018, 0x0040, b"IS", str(frame_rate).encode()),
+        _el(0x0018, 0x1088, b"IS", b"72"),
+        seq,
+        _el(0x0018, 0x6060, b"UL", b"".join(struct.pack("<I", int(r)) for r in rwaves)),
+        _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+        _el(0x0028, 0x0004, b"CS", b"RGB"),
+        _el(0x0028, 0x0008, b"IS", str(n).encode()),
+        _el(0x0028, 0x0010, b"US", struct.pack("<H", h)),
+        _el(0x0028, 0x0011, b"US", struct.pack("<H", w)),
+        _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        _el(0x7FE0, 0x0010, b"OB", frames.tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def _synthetic_clip(rng, n=8, h=48, w=48):
+    """Bright moving blob on dark speckle — segmentable by Otsu, trackable."""
+    clip = (rng.uniform(size=(n, h, w)) * 40).astype(np.uint8)
+    for i in range(n):
+        cy, cx = h // 2, w // 4 + i  # blob drifts right 1 px/frame
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 8.0 ** 2))
+        clip[i] = np.clip(clip[i] + (blob * 215), 0, 255).astype(np.uint8)
+    return np.repeat(clip[..., None], 3, axis=-1)
+
+
+def test_dicom_roundtrip(tmp_path, rng):
+    frames = _synthetic_clip(rng)
+    path = str(tmp_path / "clip.dcm")
+    write_test_dicom(path, frames)
+    ds = dcmread(path)
+    assert ds.PatientID == "TEST01"
+    assert ds.Rows == 48 and ds.Columns == 48
+    assert ds.NumberOfFrames == 8
+    arr = ds.pixel_array
+    np.testing.assert_array_equal(arr, frames)
+    meta = extract_metadata(ds)
+    assert meta["frame_rate"] == 30
+    assert abs(meta["pixel_spacing"] - 0.05) < 1e-12
+    assert meta["R_wave_data_present"]
+    np.testing.assert_allclose(meta["R_times"], [10.0, 800.0])
+
+
+def test_dicom_frame_rate_fallbacks(tmp_path, rng):
+    frames = _synthetic_clip(rng, n=2)
+    path = str(tmp_path / "ft.dcm")
+    # no CineRate: use FrameTime
+    n, h, w, _ = frames.shape
+    meta = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    body = b"".join([
+        _el(0x0018, 0x1063, b"DS", b"33.33"),
+        _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+        _el(0x0028, 0x0008, b"IS", str(n).encode()),
+        _el(0x0028, 0x0010, b"US", struct.pack("<H", h)),
+        _el(0x0028, 0x0011, b"US", struct.pack("<H", w)),
+        _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        _el(0x7FE0, 0x0010, b"OB", frames.tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    ds = dcmread(path)
+    md = extract_metadata(ds)
+    assert md["frame_rate"] == 30.0
+    assert md["pixel_spacing"] is None
+
+
+def test_read_dicom_clip_gray_to_rgb(tmp_path, rng):
+    frames = _synthetic_clip(rng, n=3)
+    path = str(tmp_path / "c.dcm")
+    write_test_dicom(path, frames)
+    ds, arr = read_dicom_clip(path)
+    assert arr.shape == (3, 48, 48, 3)
+
+
+def test_clean_mask_modes(rng):
+    labels = np.zeros((6, 32, 32), np.uint8)
+    labels[:, 4:14, 4:14] = 1
+    labels[:, 18:28, 18:28] = 2
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    # synthetic squares are ~100 px; the default min_mask_size=500 would
+    # (correctly) delete them
+    out = clean_mask(labels, mode="RVIO_2class",
+                     config=OpticalFlowCalculationConfig(min_mask_size=50))
+    assert set(out) == {"rv", "av", "bkgd"}
+    for k, v in out.items():
+        assert v.shape == (6, 32, 32, 2)
+    # rv mask covers its square, background excludes both
+    assert out["rv"][0, 8, 8, 0] and not out["rv"][0, 20, 20, 0]
+    assert out["av"][0, 20, 20, 0]
+    assert not out["bkgd"][0, 8, 8, 0] and out["bkgd"][0, 1, 1, 0]
+    assert clean_mask(labels, mode="nope") is None
+
+
+def test_predict_movie_thres(rng):
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    clip = _synthetic_clip(rng)
+    masks = predict_movie_thres(
+        clip, config=OpticalFlowCalculationConfig(min_mask_size=50))
+    assert set(masks) == {"otsu"}
+    m = masks["otsu"]
+    assert m.shape == (8, 48, 48, 2)
+    # the bright blob region is foreground
+    assert m[4, 24, 16, 0]
+
+
+def test_wase_background_matches_naive(rng):
+    flow = rng.normal(size=(3, 8, 8, 2)).astype(np.float32)
+    flow[0, :2] = 0.0
+    bkgd = rng.uniform(size=(5, 8, 8, 2)) > 0.4
+    ours = np.asarray(_wase_background(flow, bkgd))
+    for i in range(3):
+        masked = flow[i][None] * bkgd  # (5, 8, 8, 2) broadcast like reference
+        nz = masked[masked != 0]
+        bg = nz.mean() if nz.size else 0.0
+        np.testing.assert_allclose(ours[i], flow[i] - bg, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def produced_hdf5(tmp_path_factory):
+    """End-to-end: DICOM -> otsu masks -> TVL1 flow -> HDF5 (module-scoped:
+    the solver run is the expensive part)."""
+    rng = np.random.default_rng(7)
+    tmp = tmp_path_factory.mktemp("e2e")
+    frames = _synthetic_clip(rng)
+    dcm_path = str(tmp / "stanford_TEST_1.dcm")
+    write_test_dicom(dcm_path, frames)
+    out_path = str(tmp / "stanford_TEST_1.hdf5")
+
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    cfg = OpticalFlowCalculationConfig(
+        min_mask_size=50,
+        tvl1_nscales=3, tvl1_zoom_factor=0.5, tvl1_warps=3,
+        tvl1_outer_iterations=2, tvl1_inner_iterations=15,
+        tvl1_median_filtering=False)
+    process_video(dcm_path, out_path, None, verbose=False, mode="otsu",
+                  no_saliency=True, OF_algo="TVL1", include_waveforms=False,
+                  config=cfg)
+    return out_path
+
+
+def test_pipeline_produces_reference_schema(produced_hdf5):
+    with OpticalFlowDataset(produced_hdf5) as ds:
+        assert ds.nframes == 6  # 8 raw - 2
+        assert ds.mode == "otsu"
+        assert ds.units_converted_flag
+        assert abs(ds.frame_rate - 30.0) < 1e-6
+        assert abs(ds.pixel_spacing - 0.05) < 1e-6
+        assert ds.accepted_labels == ["otsu"]
+        assert ds.vel_array.shape == (8, 48, 48, 2)
+        # flow duplicated on the last frame
+        np.testing.assert_array_equal(ds.vel_array[-1], ds.vel_array[-2])
+        assert ds.RTimePresent
+
+
+def test_pipeline_flow_tracks_motion(produced_hdf5):
+    """The blob drifts +1 px/frame in x; masked median flow must see it
+    (x displacement in cm/s = 1 px * pixel_spacing * frame_rate = 1.5)."""
+    with OpticalFlowDataset(produced_hdf5) as ds:
+        vel = ds.get_velocity("otsu")
+        mask = ds.get_mask("otsu")[..., 0].astype(bool)
+        med = []
+        for i in range(1, 6):
+            vals = vel[i, :, :, 0][mask[i]]
+            vals = vals[vals != 0]
+            med.append(np.median(vals))
+        med = np.asarray(med)
+        expected = 1.0 * 0.05 * 30.0
+        assert np.all(med > 0.3 * expected), med
+        assert np.all(med < 2.0 * expected), med
+
+
+def test_pipeline_otsu_validation(tmp_path, rng):
+    frames = _synthetic_clip(rng, n=3)
+    p = str(tmp_path / "x.dcm")
+    write_test_dicom(p, frames)
+    with pytest.raises(ConfigurationError):
+        process_video(p, str(tmp_path / "x.hdf5"), None, mode="otsu",
+                      bkgd_comp="WASE")
+
+
+def test_process_folder_sharding_and_errors(tmp_path, rng):
+    frames = _synthetic_clip(rng, n=3)
+    write_test_dicom(str(tmp_path / "a.dcm"), frames)
+    with open(tmp_path / "b.dcm", "wb") as f:
+        f.write(b"garbage")  # must be isolated, not fatal
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    cfg = OpticalFlowCalculationConfig(
+        min_mask_size=50, tvl1_nscales=2, tvl1_zoom_factor=0.5, tvl1_warps=2,
+        tvl1_outer_iterations=1, tvl1_inner_iterations=10,
+        tvl1_median_filtering=False)
+    errors = process_folder(str(tmp_path), str(tmp_path / "out"), None,
+                            nchunks=1, chunk_index=0, mode="otsu",
+                            no_saliency=True, include_waveforms=False,
+                            config=cfg)
+    assert len(errors) == 1 and errors[0].endswith("b.dcm")
+    assert os.path.exists(tmp_path / "out" / "a.hdf5")

@@ -1,0 +1,95 @@
+"""SAM model-zoo smoke tests: shapes, determinism, clip segmentor wiring.
+(Numerical parity vs the reference torch model lives in
+test_convert_parity.py.) Small image_size keeps CPU CI tractable; all
+modules are resolution-agnostic."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tee_optical_flow_tpu.models.registry import build_sam_vit_t, sam_model_registry
+from tee_optical_flow_tpu.models.sam import make_clip_segmentor, preprocess_frames
+from tee_optical_flow_tpu.models.tinyvit import TinyViT
+from tee_optical_flow_tpu.models.image_encoder import ImageEncoderViT
+
+IMG = 128  # grid 8, decoder out 32
+
+
+@pytest.fixture(scope="module")
+def vit_t():
+    model, variables = build_sam_vit_t(num_classes=3, image_size=IMG, seed=0)
+    return model, variables
+
+
+def test_registry_contents():
+    assert set(sam_model_registry) == {"default", "vit_h", "vit_l", "vit_b", "vit_t"}
+
+
+def test_tinyvit_encoder_shape():
+    enc = TinyViT(img_size=IMG)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(variables, x)
+    assert out.shape == (1, IMG // 16, IMG // 16, 256)
+
+
+def test_sam_vit_t_forward(vit_t):
+    model, variables = vit_t
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, IMG, IMG, 3)),
+                    jnp.float32)
+    logits, iou = model.apply(variables, x, multimask_output=True)
+    assert logits.shape == (2, 3, IMG // 4, IMG // 4)
+    assert iou.shape == (2, 3)
+    # single-mask path returns token 0
+    logits1, iou1 = model.apply(variables, x, multimask_output=False)
+    assert logits1.shape == (2, 1, IMG // 4, IMG // 4)
+
+
+def test_sam_deterministic(vit_t):
+    model, variables = vit_t
+    x = jnp.ones((1, IMG, IMG, 3))
+    a, _ = model.apply(variables, x)
+    b, _ = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preprocess_frames_range():
+    frames = jnp.full((1, 50, 60, 3), 255, jnp.uint8)
+    out = preprocess_frames(frames, IMG)
+    assert out.shape == (1, IMG, IMG, 3)
+    # white pixel -> (1 - mean) / std
+    np.testing.assert_allclose(
+        np.asarray(out[0, 64, 64]),
+        (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+        atol=1e-4)
+
+
+def test_clip_segmentor(vit_t):
+    model, variables = vit_t
+    seg = make_clip_segmentor(model, variables, micro_batch=2)
+    clip = (np.random.default_rng(1).uniform(size=(3, 40, 40, 3)) * 255).astype(np.uint8)
+    labels = seg(clip)
+    assert labels.shape == (3, 40, 40)
+    assert labels.dtype == np.uint8
+    assert labels.max() <= 2  # 3 classes
+
+
+def test_vitdet_encoder_shape():
+    enc = ImageEncoderViT(img_size=64, patch_size=16, embed_dim=64, depth=2,
+                          num_heads=2, global_attn_indexes=(1,))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(variables, x)
+    assert out.shape == (1, 4, 4, 256)
+
+
+def test_adapter_stages_add_params():
+    enc_plain = TinyViT(img_size=IMG)
+    enc_adapt = TinyViT(img_size=IMG, adapter_stages=(1, 2, 3))
+    x = jnp.zeros((1, IMG, IMG, 3))
+    p0 = enc_plain.init(jax.random.PRNGKey(0), x)
+    p1 = enc_adapt.init(jax.random.PRNGKey(0), x)
+    n0 = sum(a.size for a in jax.tree.leaves(p0["params"]))
+    n1 = sum(a.size for a in jax.tree.leaves(p1["params"]))
+    assert n1 > n0

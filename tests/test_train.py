@@ -1,0 +1,166 @@
+"""Training stack: losses, schedule, freeze policies, LoRA merge, and a
+real multi-device DP train step on the 8-way CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tee_optical_flow_tpu.config import TrainConfig
+from tee_optical_flow_tpu.models.lora import init_lora, merge_lora, qkv_qv_columns
+from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+from tee_optical_flow_tpu.parallel.mesh import host_shard_list, make_mesh
+from tee_optical_flow_tpu.train.loop import (
+    build_runtime, make_eval_step, make_train_step, merge_params,
+    partition_params, trainable_predicate,
+)
+from tee_optical_flow_tpu.train.losses import (
+    combined_loss, cross_entropy_loss, dice_coeff_multi_class, dice_loss,
+    per_class_iou_dice,
+)
+from tee_optical_flow_tpu.train.schedule import warmup_poly_schedule
+
+IMG = 64  # tiny SAM: grid 4, decoder out 16
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    return build_sam_vit_t(num_classes=3, image_size=IMG, seed=0)
+
+
+def test_dice_loss_perfect_and_worst():
+    labels = jnp.zeros((1, 8, 8), jnp.int32).at[:, :4].set(1)
+    # huge logits for the right class -> sigmoid ~1 on target, ~0 elsewhere
+    logits = jnp.full((1, 3, 8, 8), -20.0)
+    logits = logits.at[0, 1, :4, :].set(20.0)
+    logits = logits.at[0, 0, 4:, :].set(20.0)
+    assert float(dice_loss(logits, labels)) < 0.35  # class 2 never predicted
+    ce = float(cross_entropy_loss(logits, labels))
+    assert ce < 1e-3
+
+
+def test_dice_coeff_multi_class_perfect():
+    labels = jnp.zeros((2, 8, 8), jnp.int32).at[:, :4].set(1)
+    assert float(dice_coeff_multi_class(labels, labels, 3)) > 0.99
+    iou, dice = per_class_iou_dice(labels, labels, 3)
+    np.testing.assert_allclose(np.asarray(iou)[:2], 1.0, atol=1e-5)
+
+
+def test_warmup_poly_schedule():
+    sched = warmup_poly_schedule(1e-3, warmup_period=10, max_iterations=100)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(9)) == pytest.approx(1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(60)) < 1e-3
+    assert float(sched(60)) == pytest.approx(1e-3 * (1 - 50 / 100) ** 0.9, rel=1e-5)
+
+
+def test_partition_params_policies(tiny_sam):
+    model, variables = tiny_sam
+    params = variables["params"]
+    # vanilla frozen-encoder: no image_encoder leaves trainable
+    t, f = partition_params(params, trainable_predicate("vanilla", False))
+    assert "image_encoder" not in t and "image_encoder" in f
+    assert "mask_decoder" in t
+    # merge restores the full tree
+    merged = merge_params(t, f)
+    flat_m = jax.tree_util.tree_leaves(merged)
+    flat_p = jax.tree_util.tree_leaves(params)
+    assert len(flat_m) == len(flat_p)
+
+
+def test_lora_init_and_merge(tiny_sam):
+    model, variables = tiny_sam
+    params = variables["params"]
+    lora = init_lora(params, rank=4, seed=0)
+    assert len(lora) > 0
+    # encoder fused-qkv sites present
+    assert any("attn/qkv" in k for k in lora)
+    # decoder dense sites present
+    assert any("q_proj" in k for k in lora)
+    merged = merge_lora(params, lora)
+    # B is zero-init -> merged == base exactly
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # non-zero factors change only q/v columns of fused qkv
+    name = next(k for k in lora if "attn/qkv" in k)
+    lora[name]["b_q"] = jnp.ones_like(lora[name]["b_q"])
+    merged2 = merge_lora(params, lora)
+
+    def get(tree, dotted):
+        node = tree
+        for p in dotted.split("/"):
+            node = node[p]
+        return node
+
+    base_k = np.asarray(get(params, name)["kernel"])
+    new_k = np.asarray(get(merged2, name)["kernel"])
+    dim = base_k.shape[0]
+    heads = {128: 4, 160: 5, 320: 10}[dim]
+    q_cols, v_cols = qkv_qv_columns(dim, heads)
+    changed = np.nonzero(np.any(new_k != base_k, axis=0))[0]
+    assert set(changed.tolist()) <= set(q_cols.tolist())
+
+
+def test_qkv_qv_columns():
+    q, v = qkv_qv_columns(8, 2)  # kd=4, per-head layout q0..3 k4..7 v8..11
+    assert q.tolist() == [0, 1, 2, 3, 12, 13, 14, 15]
+    assert v.tolist() == [8, 9, 10, 11, 20, 21, 22, 23]
+
+
+def test_host_shard_list():
+    items = list(range(10))
+    chunks = [host_shard_list(items, 3, i) for i in range(3)]
+    assert sum(len(c) for c in chunks) == 10
+    assert host_shard_list(items, 3, 5) == []
+
+
+@pytest.mark.parametrize("finetune_type", ["vanilla", "adapter", "lora"])
+def test_train_step_multidevice(tiny_sam, finetune_type):
+    """One real DP train step on the 8-device CPU mesh for each policy."""
+    if finetune_type == "adapter":
+        model, variables = build_sam_vit_t(
+            num_classes=3, image_size=IMG, seed=0, adapter_stages=(2, 3),
+            use_decoder_adapter=True)
+    else:
+        model, variables = tiny_sam
+
+    cfg = TrainConfig(num_cls=3, image_size=IMG, out_size=IMG // 4, b=8,
+                      lr=1e-3, warmup_period=2, epochs=1,
+                      finetune_type=finetune_type)
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    runtime = build_runtime(cfg, steps_per_epoch=2, mesh=mesh)
+
+    lora_params = lora_merge = None
+    if finetune_type == "lora":
+        from tee_optical_flow_tpu.models.lora import init_lora as _il, merge_lora as _ml
+        lora_params = _il(variables["params"], rank=2, seed=0)
+        lora_merge = lambda base, lo: _ml(base, lo)
+
+    init_state, train_step = make_train_step(
+        model, runtime, finetune_type=finetune_type,
+        lora_merge=lora_merge)
+    state = init_state(variables, lora_params)
+    trainable, frozen, batch_stats, opt_state = state
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, IMG, IMG, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(8, IMG // 4, IMG // 4)).astype(np.int32)
+
+    losses = []
+    for _ in range(8):
+        trainable, batch_stats, opt_state, metrics = train_step(
+            trainable, frozen, batch_stats, opt_state,
+            jnp.asarray(images), jnp.asarray(labels))
+        losses.append(float(metrics["total_loss"]))
+    # optimizing the same batch must reduce the loss (AdamW can bounce on
+    # the first couple of steps while moment estimates warm up)
+    assert min(losses[3:]) < losses[0], losses
+
+    eval_step = make_eval_step(model, runtime, 3, finetune_type=finetune_type,
+                               lora_merge=lora_merge)
+    l, d = eval_step(trainable, frozen, batch_stats,
+                     jnp.asarray(images), jnp.asarray(labels))
+    assert np.isfinite(float(l)) and 0.0 <= float(d) <= 1.0
