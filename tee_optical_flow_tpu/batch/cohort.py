@@ -1,0 +1,169 @@
+"""Cohort-scale clinical analysis: HDF5 -> 69-value row -> CSV.
+
+Parity with the reference's legacy cohort loop
+(analyze_optical_flow.py:1361-1516): per file and (param, label), run the
+ECG-gated and arterial-gated pipelines for both the total-magnitude trace
+and the radial/longitudinal decomposition, assemble the 15 metadata
+values + 9 + 9 + 18 + 18 statistics into one 69-value row (the schema of
+file_io.py:207-247), zero-filling any gate that fails (reference
+:1417-1470 wraps each in try/except).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..analysis import calculate_3dhist, calculate_3dhist_radlong
+from ..config import (
+    AnalysisConfig, CardiacCycleConfig, PeakDetectionConfig,
+    ProcessingConfig, VisualizationConfig, arterial_gated_config,
+    ecg_gated_config,
+)
+from ..dataset import OpticalFlowDataset
+from ..io.tabular import aggregate_pkl_files
+from ..signal.cycles import ArterialDetector, ECGLazyDetector
+from ..signal.smoother import spectral_smooth
+from ..utils import safe_makedir
+from ..viz.manager import VisualizationManager
+
+logger = logging.getLogger(__name__)
+
+_ZERO9 = tuple([0.0] * 8 + [0])
+_ZERO18 = tuple([0.0] * 16 + [0, 0])
+
+
+def _detect(ds, gate: str, cc_config, proc_config):
+    if gate == "ecg":
+        det = ECGLazyDetector(cc_config, None, proc_config)
+        return det.detect(ds, ds.ecg, int(ds.ecg_sampling_rate))
+    det = ArterialDetector(cc_config, None, proc_config)
+    return det.detect(ds, ds.art, int(ds.art_sampling_rate))
+
+
+def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
+                 analysis_config, save_dir):
+    masked = ds.get_masked_arr(param, label)
+    _mag, _ang, _me, _ae, perc_hi = calculate_3dhist(
+        masked, ds.nframes, nbins=analysis_config.nbins,
+        percentile=analysis_config.percentile)
+    filt = spectral_smooth(perc_hi, manager.peak_config.smooth_fraction,
+                           manager.peak_config.pad_len)
+    frame_times = np.arange(ds.nframes) / ds.frame_rate
+    save_path = os.path.join(save_dir, "plots",
+                             f"{ds.filename}_{gate}_{param}_{label}_total.png")
+    return manager.plot_peak_line(
+        filt, frame_times, sys_frames, dia_frames, ds.nframes, param,
+        ds._param_unit(param), label, save_path, cc_method=gate,
+        print_report=False, return_statistics=True)
+
+
+def _radlong_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
+                   analysis_config, save_dir):
+    param_arr = ds.get_masked_arr(param, label)
+    av_masks = ds.get_mask("av")
+    data = calculate_3dhist_radlong(
+        param_arr, av_masks, ds.nframes, nbins=analysis_config.nbins,
+        perc_lo=analysis_config.perc_lo, perc_hi=analysis_config.perc_hi,
+        av_filter_flag=analysis_config.av_filter_flag,
+        av_savgol_window=analysis_config.av_savgol_window,
+        av_savgol_poly=analysis_config.av_savgol_poly)
+    _f, _e, rad_hi, rad_lo = data["radial"]
+    _f, _e, long_hi, long_lo = data["longitudinal"]
+    frame_times = np.arange(ds.nframes) / ds.frame_rate
+    save_path = os.path.join(save_dir, "plots",
+                             f"{ds.filename}_{gate}_{param}_{label}_radlong.png")
+    return manager.plot_peak_line_radlong(
+        rad_hi, rad_lo, long_hi, long_lo, frame_times, sys_frames, dia_frames,
+        ds.nframes, param, ds._param_unit(param), label, save_path,
+        cc_method=gate, print_report=False, return_statistics=True)
+
+
+def _waveform_stats(ds):
+    def mmm(arr):
+        arr = np.asarray(arr, np.float64)
+        return float(arr.mean()), float(arr.max()), float(arr.min())
+
+    art = mmm(ds.art) if hasattr(ds, "art") else (0.0, 0.0, 0.0)
+    cvp = mmm(ds.cvp) if getattr(ds, "cvp_exists", False) else (0.0, 0.0, 0.0)
+    pap = mmm(ds.pap) if getattr(ds, "pap_exists", False) else (0.0, 0.0, 0.0)
+    return art, cvp, pap
+
+
+def analyze_cohort_file(filepath: str, param: str = "velocity",
+                        label: str = "rv", save_dir: str = ".",
+                        analysis_config: Optional[AnalysisConfig] = None,
+                        proc_config: Optional[ProcessingConfig] = None) -> List:
+    """One HDF5 -> one 69-value row (reference :1397-1499)."""
+    analysis_config = analysis_config or AnalysisConfig()
+    proc_config = proc_config or ProcessingConfig()
+    vis = VisualizationConfig(show_img=False)
+    manager = VisualizationManager(vis_config=vis, proc_config=proc_config)
+    safe_makedir(os.path.join(save_dir, "plots"))
+
+    with OpticalFlowDataset(filepath) as ds:
+        rows = {}
+        for gate, cc_cfg in (("ecg_lazy", ecg_gated_config()),
+                             ("arterial", arterial_gated_config())):
+            gate_key = "ecg" if gate == "ecg_lazy" else "art"
+            try:
+                proc_gate = ProcessingConfig(recalculate=True,
+                                             verbose=proc_config.verbose)
+                sys_f, dia_f = _detect(ds, "ecg" if gate == "ecg_lazy" else "art",
+                                       cc_cfg, proc_gate)
+                rows[f"{gate_key}_total"] = _total_stats(
+                    ds, param, label, gate, sys_f, dia_f, manager,
+                    analysis_config, save_dir)
+            except Exception as exc:
+                logger.warning("%s %s total failed: %s", filepath, gate_key, exc)
+                rows[f"{gate_key}_total"] = _ZERO9
+            try:
+                if "av" in ds.accepted_labels:
+                    proc_gate = ProcessingConfig(recalculate=True,
+                                                 verbose=proc_config.verbose)
+                    sys_f, dia_f = _detect(ds, "ecg" if gate == "ecg_lazy" else "art",
+                                           cc_cfg, proc_gate)
+                    rows[f"{gate_key}_radlong"] = _radlong_stats(
+                        ds, param, label, gate, sys_f, dia_f, manager,
+                        analysis_config, save_dir)
+                else:
+                    rows[f"{gate_key}_radlong"] = _ZERO18
+            except Exception as exc:
+                logger.warning("%s %s radlong failed: %s", filepath, gate_key, exc)
+                rows[f"{gate_key}_radlong"] = _ZERO18
+
+        art, cvp, pap = _waveform_stats(ds)
+        meta = [
+            ds.filename, str(getattr(ds, "ID", "")), float(ds.frame_rate),
+            float(ds.pixel_spacing), 0, int(ds.nframes),
+            art[0], art[1], art[2], cvp[0], cvp[1], cvp[2],
+            pap[0], pap[1], pap[2],
+        ]
+
+    # 15 + 9 + 9 + 18 + 18 = 69 (column order of file_io.py:207-247)
+    return (meta + list(rows["ecg_total"]) + list(rows["art_total"]) +
+            list(rows["ecg_radlong"]) + list(rows["art_radlong"]))
+
+
+def run_cohort_analysis(folder: str, save_dir: str,
+                        param_list: Optional[List[str]] = None,
+                        label_list: Optional[List[str]] = None,
+                        nchunks: int = 1, chunk_index: int = 0,
+                        recalculate: bool = False,
+                        aggregate: bool = True, verbose: bool = True):
+    """Full cohort run: shard, analyze, merge to CSV (reference
+    :1361-1620 + file_io.py:168-251)."""
+    from .processor import analyze_hdf5_folder
+
+    param_list = param_list or ["velocity"]
+    label_list = label_list or ["rv"]
+    errors = analyze_hdf5_folder(
+        folder, save_dir, param_list, label_list, analyze_cohort_file,
+        nchunks=nchunks, chunk_index=chunk_index, recalculate=recalculate,
+        verbose=verbose)
+    if aggregate:
+        aggregate_pkl_files(param_list, label_list, save_dir)
+    return errors

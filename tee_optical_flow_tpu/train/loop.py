@@ -112,10 +112,16 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
                     finetune_type: str = "vanilla",
                     if_update_encoder: bool = True,
                     lora_merge: Optional[Callable] = None,
-                    remat: bool = False):
+                    remat: bool = False,
+                    param_sharding_fn: Optional[Callable] = None):
     """Returns (init_state, train_step). State = (trainable, frozen,
     batch_stats, opt_state); batch = (images (B,S,S,3) normalized,
-    labels (B,out,out) int32)."""
+    labels (B,out,out) int32).
+
+    ``param_sharding_fn(mesh, params) -> sharding pytree`` opts into model
+    parallelism: parameters are committed with those shardings and XLA
+    partitions the step accordingly (default: replicated = pure DP).
+    """
     mesh = runtime.mesh
 
     def apply_model(params, batch_stats, images):
@@ -153,12 +159,15 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh, ndim=4)
     lsh = batch_sharding(mesh, ndim=3)
-    train_step = jax.jit(
-        _step,
-        in_shardings=(rep, rep, rep, rep, bsh, lsh),
-        out_shardings=(rep, rep, rep, rep),
-        donate_argnums=(0, 2, 3),
-    )
+    _jitted = jax.jit(_step, donate_argnums=(0, 2, 3))
+
+    def train_step(trainable, frozen, batch_stats, opt_state, images, labels):
+        # commit the batch to the data axis; state keeps whatever sharding
+        # init_state committed it with (replicated or model-sharded), and
+        # XLA partitions the step from those
+        images = jax.device_put(images, bsh)
+        labels = jax.device_put(labels, lsh)
+        return _jitted(trainable, frozen, batch_stats, opt_state, images, labels)
 
     def init_state(variables, lora_params=None):
         params = variables["params"]
@@ -171,13 +180,22 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
                 params, trainable_predicate(finetune_type, if_update_encoder))
         opt_state = runtime.tx.init(trainable)
 
-        def put(tree):
+        def put(tree, shardings=None):
             # fresh buffers: the train step donates its state args, and a
             # zero-copy device_put of caller-owned arrays would let the
             # donation delete the caller's buffers
-            return jax.device_put(jax.tree.map(jnp.array, tree), rep)
+            tree = jax.tree.map(jnp.array, tree)
+            if shardings is None:
+                return jax.device_put(tree, rep)
+            return jax.tree.map(jax.device_put, tree, shardings)
 
-        return (put(trainable), put(frozen), put(batch_stats), put(opt_state))
+        t_sh = f_sh = None
+        if param_sharding_fn is not None:
+            if finetune_type != "lora":
+                t_sh = param_sharding_fn(mesh, trainable)
+            f_sh = param_sharding_fn(mesh, frozen)
+        return (put(trainable, t_sh), put(frozen, f_sh),
+                put(batch_stats), put(opt_state))
 
     return init_state, train_step
 
@@ -202,11 +220,16 @@ def make_eval_step(model, runtime: TrainConfigRuntime, num_cls: int,
         dsc = dice_coeff_multi_class(pred, labels, num_cls)
         return total, dsc
 
-    rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh, ndim=4)
     lsh = batch_sharding(mesh, ndim=3)
-    return jax.jit(_eval, in_shardings=(rep, rep, rep, bsh, lsh),
-                   out_shardings=(rep, rep))
+    _jitted = jax.jit(_eval)
+
+    def eval_step(trainable, frozen, batch_stats, images, labels):
+        images = jax.device_put(images, bsh)
+        labels = jax.device_put(labels, lsh)
+        return _jitted(trainable, frozen, batch_stats, images, labels)
+
+    return eval_step
 
 
 # ---------------------------------------------------------------------------
