@@ -1,0 +1,111 @@
+"""Fine-tuning CLI.
+
+Parity with reference finetune-SAM/SingleGPU_train_finetune_noprompt.py
+__main__ (:194-214) and the cfg.py flag schema (:3-77): arch/finetune_type/
+num_cls/epochs/batch/lr/warmup/image sizes/checkpoint dir/CSV lists. The
+DDP split-GPU variant collapses into the same entry point — the mesh axes
+replace process spawning (pass --data_axis/--model_axis).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Fine-tune SAM on TEE data")
+    parser.add_argument("--arch", type=str, default="vit_t",
+                        choices=["vit_t", "vit_b", "vit_l", "vit_h"])
+    parser.add_argument("--finetune_type", type=str, default="vanilla",
+                        choices=["vanilla", "adapter", "lora"])
+    parser.add_argument("--num_cls", type=int, default=9)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("-b", "--batch_size", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--image_size", type=int, default=1024)
+    parser.add_argument("--out_size", type=int, default=256)
+    parser.add_argument("--warmup_period", type=int, default=200)
+    parser.add_argument("--no_warmup", action="store_true")
+    parser.add_argument("--if_update_encoder", action="store_true", default=True)
+    parser.add_argument("--freeze_encoder", action="store_true")
+    parser.add_argument("--lora_rank", type=int, default=4)
+    parser.add_argument("--sam_ckpt", type=str, default=None,
+                        help="torch .pth (mobile_sam.pt or fine-tuned) to "
+                             "convert as initialization")
+    parser.add_argument("--dir_checkpoint", type=str, required=True)
+    parser.add_argument("--img_folder", type=str, required=True)
+    parser.add_argument("--mask_folder", type=str, required=True)
+    parser.add_argument("--train_img_list", type=str, required=True)
+    parser.add_argument("--val_img_list", type=str, required=True)
+    parser.add_argument("--targets", type=str, default="multi_all")
+    parser.add_argument("--data_axis", type=int, default=None)
+    parser.add_argument("--model_axis", type=int, default=1)
+    parser.add_argument("--grad_accum", type=int, default=1)
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from ..config import TrainConfig
+    from ..models.registry import sam_model_registry
+    from ..parallel.mesh import make_mesh
+    from ..train.data import PublicDataset, batch_iterator
+    from ..train.loop import train_model
+    from ..utils import safe_makedir
+
+    cfg = TrainConfig(
+        arch=args.arch, finetune_type=args.finetune_type,
+        num_cls=args.num_cls, image_size=args.image_size,
+        out_size=args.out_size, epochs=args.epochs, b=args.batch_size,
+        lr=args.lr, warmup=not args.no_warmup,
+        warmup_period=args.warmup_period, lora_rank=args.lora_rank,
+        if_update_encoder=not args.freeze_encoder,
+        dir_checkpoint=args.dir_checkpoint, targets=args.targets,
+        mesh_data_axis=args.data_axis, grad_accum=args.grad_accum,
+        remat=args.remat, seed=args.seed)
+    safe_makedir(cfg.dir_checkpoint)
+    cfg.to_json(os.path.join(cfg.dir_checkpoint, "args.json"))
+
+    model, variables = sam_model_registry[args.arch](
+        num_classes=args.num_cls, image_size=args.image_size,
+        checkpoint=args.sam_ckpt, seed=args.seed)
+
+    lora_params = lora_merge = None
+    if args.finetune_type == "lora":
+        from ..models.lora import init_lora, merge_lora
+
+        lora_params = init_lora(variables["params"], rank=args.lora_rank,
+                                seed=args.seed)
+        lora_merge = merge_lora
+
+    train_ds = PublicDataset(args.img_folder, args.mask_folder,
+                             args.train_img_list, phase="train",
+                             image_size=args.image_size,
+                             out_size=args.out_size,
+                             targets=args.targets).filter_empty()
+    val_ds = PublicDataset(args.img_folder, args.mask_folder,
+                           args.val_img_list, phase="val",
+                           image_size=args.image_size, out_size=args.out_size,
+                           targets=args.targets)
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    mesh = make_mesh(data_axis=args.data_axis, model_axis=args.model_axis)
+
+    result = train_model(
+        model, variables,
+        train_batches=lambda: batch_iterator(train_ds, args.batch_size),
+        val_batches=lambda: batch_iterator(val_ds, args.batch_size,
+                                           shuffle=False, drop_last=False),
+        cfg=cfg, steps_per_epoch=steps_per_epoch,
+        lora_params=lora_params, lora_merge=lora_merge, mesh=mesh)
+    logging.getLogger(__name__).info("best DSC: %.4f", result["best_dsc"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

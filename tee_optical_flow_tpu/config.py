@@ -218,6 +218,7 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     tvl1_epsilon: float = 0.01
     tvl1_gamma: float = 0.0
     tvl1_median_filtering: bool = True
+    tvl1_max_displacement: int = 16
     tvl1_use_pallas: bool = True
     # DeepFlow-style variational refinement
     deepflow_alpha: float = 1.0

@@ -9,13 +9,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# host-side constants (a module-scope jnp array would initialize the
+# device backend at import time); jnp ops consume them directly
 
 # ITU-R BT.601 luma weights, matching skimage.color.rgb2gray
-_LUMA = jnp.asarray([0.2125, 0.7154, 0.0721], dtype=jnp.float32)
+_LUMA = np.asarray([0.2125, 0.7154, 0.0721], dtype=np.float32)
 
 # torchvision ImageNet statistics (reference calculate_optical_flow.py:59)
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], dtype=jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], dtype=jnp.float32)
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def rgb2gray(frames: jnp.ndarray) -> jnp.ndarray:

@@ -31,15 +31,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from .warp import (
-    bilinear_warp, build_pyramid, centered_gradient, divergence,
-    forward_diff, median_filter_5x5, pyramid_shapes, resize_bilinear,
+    build_pyramid, centered_gradient, divergence, forward_diff,
+    median_filter_5x5, pyramid_shapes, resize_bilinear, warp_many_shift,
 )
 
 _GRAD_EPS = 1e-10
 
 
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
-                inner_iters, use_median):
+                inner_iters, use_median, max_disp):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
     i1x, i1y = centered_gradient(i1)
     l_t = lam * theta
@@ -52,9 +52,8 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
 
     def warp_body(_, carry):
         u, v, p11, p12, p21, p22 = carry
-        i1w = bilinear_warp(i1, u, v)
-        i1wx = bilinear_warp(i1x, u, v)
-        i1wy = bilinear_warp(i1y, u, v)
+        i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
+                                          max_disp=max_disp)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u - i1wy * v - i0
 
@@ -109,16 +108,20 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
 @functools.partial(
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
-                     "outer_iters", "inner_iters", "use_median"))
+                     "outer_iters", "inner_iters", "use_median", "max_disp"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
                     outer_iters: int = 10, inner_iters: int = 30,
-                    use_median: bool = True) -> jnp.ndarray:
+                    use_median: bool = True, max_disp: int = 16) -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
     flow[..., 0] = dx (columns), flow[..., 1] = dy (rows).
+
+    ``max_disp`` bounds the trackable displacement at the finest level
+    (shift-based warping; see warp.bilinear_warp_shift). Coarser levels
+    shrink the bound with the pyramid so cost concentrates where needed.
     """
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)
@@ -131,10 +134,12 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     u = jnp.zeros((b, ch, cw), jnp.float32)
     v = jnp.zeros((b, ch, cw), jnp.float32)
     for lvl in range(len(shapes) - 1, -1, -1):
+        # motion measured in level-lvl pixels scales by zoom^lvl
+        lvl_disp = max(3, int(round(max_disp * (zoom ** lvl))) + 1)
         u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
                            lam=lam, tau=tau, theta=theta, warps=warps,
                            outer_iters=outer_iters, inner_iters=inner_iters,
-                           use_median=use_median)
+                           use_median=use_median, max_disp=lvl_disp)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
@@ -161,6 +166,7 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
             outer_iters=config.tvl1_outer_iterations,
             inner_iters=config.tvl1_inner_iterations,
             use_median=config.tvl1_median_filtering,
+            max_disp=config.tvl1_max_displacement,
         )
     params.update(overrides)
     frames = jnp.asarray(frames)

@@ -114,3 +114,29 @@ def test_tvl1_zero_motion_is_zero(rng):
     img = _texture(rng, 48, 48)
     flow = np.asarray(tvl1_flow_pairs(img[None], img[None], **FAST))[0]
     assert np.abs(flow).max() < 0.05
+
+
+def test_bilinear_warp_shift_matches_gather(rng):
+    from tee_optical_flow_tpu.ops.warp import bilinear_warp_shift
+
+    img = _texture(rng, 40, 48)[None]
+    u = rng.uniform(-5, 5, size=(1, 40, 48)).astype(np.float32)
+    v = rng.uniform(-5, 5, size=(1, 40, 48)).astype(np.float32)
+    a = np.asarray(bilinear_warp(img, u, v))
+    b = np.asarray(bilinear_warp_shift(img, u, v, max_disp=8))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_median_network_matches_numpy(rng):
+    from tee_optical_flow_tpu.ops.warp import median_of_taps, median_filter_5x5
+
+    taps = [rng.normal(size=(2, 6, 6)).astype(np.float32) for _ in range(25)]
+    got = np.asarray(median_of_taps([np.asarray(t) for t in taps]))
+    ref = np.median(np.stack(taps, -1), -1)
+    np.testing.assert_allclose(got, ref)
+
+    f = rng.normal(size=(1, 12, 12)).astype(np.float32)
+    ours = np.asarray(median_filter_5x5(f))
+    from scipy import ndimage
+    ref = np.stack([ndimage.median_filter(f[0], size=5, mode="nearest")])
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
