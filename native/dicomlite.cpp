@@ -1,0 +1,366 @@
+// dicomlite: minimal native DICOM parser for the TEE pipeline.
+//
+// The reference pipeline decodes DICOM through pydicom + GDCM's C++
+// handlers (reference calculate_optical_flow.py:292-312). This library is
+// the framework's native equivalent for the hot host-side decode path:
+// part-10 parsing (explicit/implicit VR little endian, sequences),
+// metadata extraction (the tags the pipeline consumes), and pixel decode
+// for native (uncompressed) and RLE transfer syntaxes. Encapsulated JPEG
+// returns DICOM_E_UNSUPPORTED so the Python layer falls back to its
+// cv2-based decoder.
+//
+// C ABI only (loaded via ctypes; pybind11 is not available in this image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+enum {
+  DICOM_OK = 0,
+  DICOM_E_IO = -1,
+  DICOM_E_FORMAT = -2,
+  DICOM_E_UNSUPPORTED = -3,
+  DICOM_E_CAPACITY = -4,
+};
+
+typedef struct {
+  int32_t rows, cols, frames, samples, bits, planar;
+  double pixel_spacing;  // PhysicalDeltaX from ultrasound regions; <0 absent
+  double frame_rate;     // CineRate -> 1000/FrameTime fallback; <0 absent
+  double heart_rate;     // <0 absent
+  char patient_id[64];
+  char photometric[20];
+  char transfer_syntax[64];
+  int32_t n_rwaves;
+  double rwave_times[256];
+  int64_t pixel_data_offset;  // byte offset of raw pixel payload (native TS)
+  int64_t pixel_data_size;
+  int32_t encapsulated;  // 1 if pixel data is encapsulated (JPEG/RLE)
+} DicomInfo;
+
+}  // extern "C"
+
+namespace {
+
+struct Cursor {
+  const uint8_t* data;
+  size_t size;
+  size_t pos = 0;
+  bool ok() const { return pos <= size; }
+  bool avail(size_t n) const { return pos + n <= size; }
+  uint16_t u16() {
+    uint16_t v;
+    std::memcpy(&v, data + pos, 2);
+    pos += 2;
+    return v;
+  }
+  uint32_t u32() {
+    uint32_t v;
+    std::memcpy(&v, data + pos, 4);
+    pos += 4;
+    return v;
+  }
+};
+
+bool is_long_vr(const char* vr) {
+  static const char* kLong[] = {"OB", "OW", "OF", "OD", "OL",
+                                "SQ", "UC", "UR", "UT", "UN"};
+  for (const char* v : kLong)
+    if (vr[0] == v[0] && vr[1] == v[1]) return true;
+  return false;
+}
+
+double parse_number(const uint8_t* p, size_t len) {
+  std::string s(reinterpret_cast<const char*>(p), len);
+  size_t bs = s.find('\\');
+  if (bs != std::string::npos) s = s.substr(0, bs);
+  try {
+    return std::stod(s);
+  } catch (...) {
+    return -1.0;
+  }
+}
+
+void copy_trimmed(char* dst, size_t cap, const uint8_t* p, size_t len) {
+  size_t n = len < cap - 1 ? len : cap - 1;
+  std::memcpy(dst, p, n);
+  dst[n] = 0;
+  // strip trailing spaces/nulls
+  for (int i = static_cast<int>(n) - 1;
+       i >= 0 && (dst[i] == ' ' || dst[i] == 0); --i)
+    dst[i] = 0;
+}
+
+// parse one dataset level; descend into the ultrasound-regions sequence
+int parse_dataset(Cursor& c, bool explicit_vr, DicomInfo* info, int depth,
+                  size_t end_pos);
+
+int handle_element(Cursor& c, bool explicit_vr, uint16_t group, uint16_t elem,
+                   const char* vr, size_t len, DicomInfo* info, int depth) {
+  const uint8_t* p = c.data + c.pos;
+  uint32_t tag = (static_cast<uint32_t>(group) << 16) | elem;
+  switch (tag) {
+    case 0x00100020:
+      copy_trimmed(info->patient_id, sizeof(info->patient_id), p, len);
+      break;
+    case 0x00180040:
+      info->frame_rate = parse_number(p, len);
+      break;
+    case 0x00181063: {  // FrameTime, only if CineRate absent
+      if (info->frame_rate < 0) {
+        double ft = parse_number(p, len);
+        if (ft > 0) info->frame_rate = static_cast<double>(
+            static_cast<long long>(1000.0 / ft + 0.5));
+      }
+      break;
+    }
+    case 0x00181088:
+      info->heart_rate = parse_number(p, len);
+      break;
+    case 0x0018602C: {  // PhysicalDeltaX (FD)
+      if (len >= 8 && info->pixel_spacing < 0)
+        std::memcpy(&info->pixel_spacing, p, 8);
+      break;
+    }
+    case 0x00186060: {  // RWaveTimeVector (UL)
+      size_t n = len / 4;
+      if (n > 256) n = 256;
+      for (size_t i = 0; i < n; ++i) {
+        uint32_t v;
+        std::memcpy(&v, p + 4 * i, 4);
+        info->rwave_times[i] = static_cast<double>(v);
+      }
+      info->n_rwaves = static_cast<int32_t>(n);
+      break;
+    }
+    case 0x00280002:
+      if (len >= 2) std::memcpy(&info->samples, p, 2);
+      break;
+    case 0x00280004:
+      copy_trimmed(info->photometric, sizeof(info->photometric), p, len);
+      break;
+    case 0x00280006:
+      if (len >= 2) std::memcpy(&info->planar, p, 2);
+      break;
+    case 0x00280008:
+      info->frames = static_cast<int32_t>(parse_number(p, len));
+      break;
+    case 0x00280010:
+      if (len >= 2) { uint16_t v; std::memcpy(&v, p, 2); info->rows = v; }
+      break;
+    case 0x00280011:
+      if (len >= 2) { uint16_t v; std::memcpy(&v, p, 2); info->cols = v; }
+      break;
+    case 0x00280100:
+      if (len >= 2) { uint16_t v; std::memcpy(&v, p, 2); info->bits = v; }
+      break;
+    default:
+      break;
+  }
+  c.pos += len;
+  return DICOM_OK;
+}
+
+int parse_sequence(Cursor& c, bool explicit_vr, size_t len, DicomInfo* info,
+                   int depth, bool descend) {
+  size_t end = (len == 0xFFFFFFFF) ? c.size : c.pos + len;
+  while (c.pos + 8 <= end) {
+    uint16_t g = c.u16();
+    uint16_t e = c.u16();
+    uint32_t ilen = c.u32();
+    if (g == 0xFFFE && e == 0xE0DD) break;  // sequence delimiter
+    if (g != 0xFFFE || e != 0xE000) return DICOM_E_FORMAT;
+    size_t item_end = (ilen == 0xFFFFFFFF) ? end : c.pos + ilen;
+    if (descend) {
+      int rc = parse_dataset(c, explicit_vr, info, depth + 1, item_end);
+      if (rc != DICOM_OK) return rc;
+    }
+    if (ilen != 0xFFFFFFFF)
+      c.pos = item_end;
+    else if (!descend)
+      return DICOM_E_UNSUPPORTED;  // can't skip undefined-length blind
+  }
+  return DICOM_OK;
+}
+
+int parse_dataset(Cursor& c, bool explicit_vr, DicomInfo* info, int depth,
+                  size_t end_pos) {
+  while (c.pos + 8 <= end_pos) {
+    uint16_t group = c.u16();
+    uint16_t elem = c.u16();
+    if (group == 0xFFFE && elem == 0xE00D) {  // item delimiter
+      c.u32();
+      return DICOM_OK;
+    }
+    char vr[3] = {0, 0, 0};
+    size_t len;
+    bool is_seq = false;
+    if (explicit_vr && group != 0xFFFE) {
+      vr[0] = static_cast<char>(c.data[c.pos]);
+      vr[1] = static_cast<char>(c.data[c.pos + 1]);
+      c.pos += 2;
+      if (is_long_vr(vr)) {
+        c.pos += 2;
+        len = c.u32();
+      } else {
+        len = c.u16();
+      }
+      is_seq = (vr[0] == 'S' && vr[1] == 'Q');
+    } else {
+      len = c.u32();
+      is_seq = (group == 0x0018 && elem == 0x6011) || len == 0xFFFFFFFF;
+    }
+
+    if (group == 0x7FE0 && elem == 0x0010) {
+      if (len == 0xFFFFFFFF) {
+        info->encapsulated = 1;
+        info->pixel_data_offset = static_cast<int64_t>(c.pos);
+        info->pixel_data_size = static_cast<int64_t>(c.size - c.pos);
+        return DICOM_OK;
+      }
+      info->pixel_data_offset = static_cast<int64_t>(c.pos);
+      info->pixel_data_size = static_cast<int64_t>(len);
+      return DICOM_OK;
+    }
+
+    if (is_seq || (explicit_vr && vr[0] == 'S' && vr[1] == 'Q')) {
+      bool descend = (group == 0x0018 && elem == 0x6011);
+      int rc = parse_sequence(c, explicit_vr, len, info, depth, descend);
+      if (rc != DICOM_OK) return rc;
+      continue;
+    }
+    if (len == 0xFFFFFFFF) return DICOM_E_FORMAT;
+    if (!c.avail(len)) return DICOM_E_FORMAT;
+    handle_element(c, explicit_vr, group, elem, vr, len, info, depth);
+  }
+  return DICOM_OK;
+}
+
+int read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return DICOM_E_IO;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(static_cast<size_t>(sz));
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return got == buf.size() ? DICOM_OK : DICOM_E_IO;
+}
+
+int parse_impl(const std::vector<uint8_t>& buf, DicomInfo* info) {
+  std::memset(info, 0, sizeof(*info));
+  info->pixel_spacing = -1;
+  info->frame_rate = -1;
+  info->heart_rate = -1;
+  info->frames = 1;
+  info->samples = 1;
+  info->bits = 8;
+  std::strcpy(info->transfer_syntax, "1.2.840.10008.1.2.1");
+
+  Cursor c{buf.data(), buf.size(), 0};
+  if (buf.size() > 132 && std::memcmp(buf.data() + 128, "DICM", 4) == 0) {
+    c.pos = 132;
+    // file meta group: always explicit VR LE
+    while (c.pos + 8 <= c.size) {
+      size_t mark = c.pos;
+      uint16_t group = c.u16();
+      if (group != 0x0002) {
+        c.pos = mark;
+        break;
+      }
+      uint16_t elem = c.u16();
+      char vr[3] = {static_cast<char>(c.data[c.pos]),
+                    static_cast<char>(c.data[c.pos + 1]), 0};
+      c.pos += 2;
+      size_t len;
+      if (is_long_vr(vr)) {
+        c.pos += 2;
+        len = c.u32();
+      } else {
+        len = c.u16();
+      }
+      if (group == 0x0002 && elem == 0x0010)
+        copy_trimmed(info->transfer_syntax, sizeof(info->transfer_syntax),
+                     c.data + c.pos, len);
+      c.pos += len;
+    }
+  }
+  bool explicit_vr =
+      std::strcmp(info->transfer_syntax, "1.2.840.10008.1.2") != 0;
+  return parse_dataset(c, explicit_vr, info, 0, c.size);
+}
+
+}  // namespace
+
+extern "C" {
+
+int dicom_parse(const char* path, DicomInfo* info) {
+  std::vector<uint8_t> buf;
+  int rc = read_file(path, buf);
+  if (rc != DICOM_OK) return rc;
+  return parse_impl(buf, info);
+}
+
+// Decode native (uncompressed) pixel data into `out` (caller-allocated,
+// capacity bytes). Returns bytes written or a negative error.
+int64_t dicom_read_pixels(const char* path, uint8_t* out, int64_t capacity) {
+  std::vector<uint8_t> buf;
+  int rc = read_file(path, buf);
+  if (rc != DICOM_OK) return rc;
+  DicomInfo info;
+  rc = parse_impl(buf, &info);
+  if (rc != DICOM_OK) return rc;
+  if (info.encapsulated) return DICOM_E_UNSUPPORTED;
+  if (info.pixel_data_size <= 0) return DICOM_E_FORMAT;
+  if (info.pixel_data_size > capacity) return DICOM_E_CAPACITY;
+  std::memcpy(out, buf.data() + info.pixel_data_offset,
+              static_cast<size_t>(info.pixel_data_size));
+  return info.pixel_data_size;
+}
+
+// DICOM RLE (packbits) decode of one frame payload into `out`.
+int64_t dicom_rle_decode(const uint8_t* payload, int64_t payload_size,
+                         uint8_t* out, int64_t out_capacity,
+                         int32_t n_segments_out[16]) {
+  if (payload_size < 64) return DICOM_E_FORMAT;
+  uint32_t nseg;
+  std::memcpy(&nseg, payload, 4);
+  if (nseg > 15) return DICOM_E_FORMAT;
+  uint32_t offsets[16];
+  for (uint32_t i = 0; i < nseg; ++i)
+    std::memcpy(&offsets[i], payload + 4 + 4 * i, 4);
+  offsets[nseg] = static_cast<uint32_t>(payload_size);
+
+  int64_t written = 0;
+  for (uint32_t s = 0; s < nseg; ++s) {
+    int64_t seg_start = written;
+    size_t p = offsets[s];
+    size_t end = offsets[s + 1];
+    while (p < end) {
+      int8_t n = static_cast<int8_t>(payload[p++]);
+      if (n >= 0) {
+        size_t cnt = static_cast<size_t>(n) + 1;
+        if (p + cnt > end || written + static_cast<int64_t>(cnt) > out_capacity)
+          break;
+        std::memcpy(out + written, payload + p, cnt);
+        p += cnt;
+        written += cnt;
+      } else if (n != -128) {
+        size_t cnt = static_cast<size_t>(-n) + 1;
+        if (p >= end || written + static_cast<int64_t>(cnt) > out_capacity)
+          break;
+        std::memset(out + written, payload[p++], cnt);
+        written += cnt;
+      }
+    }
+    if (n_segments_out) n_segments_out[s] = static_cast<int32_t>(written - seg_start);
+  }
+  return written;
+}
+
+}  // extern "C"

@@ -419,7 +419,40 @@ def read_dicom_clip(path: str) -> Tuple[DicomDataset, np.ndarray]:
     (calculate_optical_flow.py:292-312, :522-540): grayscale multi-frame
     clips are replicated to RGB so the rest of the pipeline sees one
     layout.
+
+    Tries the native C++ parser first (io/dicom_native.py — the GDCM role)
+    and falls back to the pure-Python parser for transfer syntaxes the
+    native path does not decode (encapsulated JPEG, deflate).
     """
+    try:
+        from .dicom_native import native_read
+
+        native = native_read(path)
+    except Exception:
+        native = None
+    if native is not None:
+        meta, arr = native
+        ds = DicomDataset()
+        ds.set((0x0010, 0x0020), meta["patient_id"])
+        if meta["heart_rate"] is not None:
+            ds.set((0x0018, 0x1088), meta["heart_rate"])
+        if meta["frame_rate"] is not None:
+            ds.set((0x0018, 0x0040), meta["frame_rate"])
+        if meta["pixel_spacing"] is not None:
+            region = DicomDataset()
+            region.set((0x0018, 0x602C), meta["pixel_spacing"])
+            ds.set((0x0018, 0x6011), [region])
+        if meta["R_wave_data_present"]:
+            ds.set((0x0018, 0x6060), meta["R_times"].tolist())
+        ds.set((0x0028, 0x0004), meta["photometric"])
+        ds.set((0x0002, 0x0010), meta["transfer_syntax"])
+        if meta["photometric"].startswith("YBR") and arr.ndim == 4 \
+                and arr.shape[-1] == 3:
+            arr = ybr_to_rgb(arr)
+        if arr.ndim == 3:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        return ds, np.ascontiguousarray(arr)
+
     ds = dcmread(path)
     arr = ds.pixel_array
     ts = ds.get((0x0002, 0x0010), EXPLICIT_VR_LE)

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native dicomlite parser (native/dicomlite.cpp).
+
+The accelerated host-side decode path (the role GDCM's C++ plays for the
+reference). ``native_read`` returns (metadata dict, raw pixel array) or
+None when the library is unavailable or the transfer syntax needs the
+pure-Python/cv2 fallback in io/dicom.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdicomlite.so"))
+_lib = None
+_lib_failed = False
+
+
+class _DicomInfo(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int32), ("cols", ctypes.c_int32),
+        ("frames", ctypes.c_int32), ("samples", ctypes.c_int32),
+        ("bits", ctypes.c_int32), ("planar", ctypes.c_int32),
+        ("pixel_spacing", ctypes.c_double), ("frame_rate", ctypes.c_double),
+        ("heart_rate", ctypes.c_double),
+        ("patient_id", ctypes.c_char * 64),
+        ("photometric", ctypes.c_char * 20),
+        ("transfer_syntax", ctypes.c_char * 64),
+        ("n_rwaves", ctypes.c_int32),
+        ("rwave_times", ctypes.c_double * 256),
+        ("pixel_data_offset", ctypes.c_int64),
+        ("pixel_data_size", ctypes.c_int64),
+        ("encapsulated", ctypes.c_int32),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.dicom_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_DicomInfo)]
+        lib.dicom_parse.restype = ctypes.c_int
+        lib.dicom_read_pixels.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.dicom_read_pixels.restype = ctypes.c_int64
+        _lib = lib
+    except Exception as exc:
+        logger.info("native dicomlite unavailable (%s); using pure-Python parser", exc)
+        _lib_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
+    """Parse + decode with the native library. Returns None on any
+    condition the Python fallback should handle instead."""
+    lib = _load()
+    if lib is None:
+        return None
+    info = _DicomInfo()
+    rc = lib.dicom_parse(path.encode(), ctypes.byref(info))
+    if rc != 0 or info.encapsulated or info.pixel_data_size <= 0:
+        return None
+    if info.bits not in (8, 16) or info.rows <= 0 or info.cols <= 0:
+        return None
+
+    buf = np.empty(int(info.pixel_data_size), np.uint8)
+    got = lib.dicom_read_pixels(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size)
+    if got <= 0:
+        return None
+
+    dtype = np.uint16 if info.bits == 16 else np.uint8
+    arr = buf.view(dtype)
+    frames = max(int(info.frames), 1)
+    expected = frames * info.rows * info.cols * info.samples
+    if arr.size < expected:
+        return None
+    arr = arr[:expected]
+    if info.samples > 1:
+        if info.planar == 1:
+            arr = arr.reshape(frames, info.samples, info.rows, info.cols)
+            arr = arr.transpose(0, 2, 3, 1)
+        else:
+            arr = arr.reshape(frames, info.rows, info.cols, info.samples)
+    else:
+        arr = arr.reshape(frames, info.rows, info.cols)
+
+    meta = {
+        "pixel_spacing": info.pixel_spacing if info.pixel_spacing >= 0 else None,
+        "frame_rate": info.frame_rate if info.frame_rate >= 0 else None,
+        "R_times": (np.asarray(info.rwave_times[:info.n_rwaves])
+                    if info.n_rwaves > 0 else None),
+        "R_wave_data_present": info.n_rwaves > 0,
+        "patient_id": info.patient_id.decode(errors="replace"),
+        "heart_rate": info.heart_rate if info.heart_rate >= 0 else None,
+        "photometric": info.photometric.decode(errors="replace"),
+        "transfer_syntax": info.transfer_syntax.decode(errors="replace"),
+    }
+    return meta, np.ascontiguousarray(arr)

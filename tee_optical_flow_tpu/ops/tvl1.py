@@ -39,7 +39,7 @@ _GRAD_EPS = 1e-10
 
 
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
-                inner_iters, use_median, max_disp):
+                inner_iters, use_median, max_disp, use_pallas=False):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
     i1x, i1y = centered_gradient(i1)
     l_t = lam * theta
@@ -62,6 +62,14 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
             if use_median:
                 u = median_filter_5x5(u)
                 v = median_filter_5x5(v)
+
+            if use_pallas:
+                # fused VMEM-resident inner block (ops/tvl1_pallas.py)
+                from .tvl1_pallas import tvl1_inner_block_pallas
+
+                return tvl1_inner_block_pallas(
+                    rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                    n_iters=inner_iters, l_t=l_t, theta=theta, taut=taut)
 
             def inner_body(_, carry):
                 u, v, p11, p12, p21, p22 = carry
@@ -108,12 +116,14 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
 @functools.partial(
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
-                     "outer_iters", "inner_iters", "use_median", "max_disp"))
+                     "outer_iters", "inner_iters", "use_median", "max_disp",
+                     "use_pallas"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
                     outer_iters: int = 10, inner_iters: int = 30,
-                    use_median: bool = True, max_disp: int = 16) -> jnp.ndarray:
+                    use_median: bool = True, max_disp: int = 16,
+                    use_pallas: bool = False) -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
@@ -139,7 +149,8 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
         u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
                            lam=lam, tau=tau, theta=theta, warps=warps,
                            outer_iters=outer_iters, inner_iters=inner_iters,
-                           use_median=use_median, max_disp=lvl_disp)
+                           use_median=use_median, max_disp=lvl_disp,
+                           use_pallas=use_pallas)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
@@ -168,6 +179,10 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
         )
+        if config.tvl1_use_pallas:
+            import jax as _jax
+
+            params["use_pallas"] = _jax.default_backend() not in ("cpu",)
     params.update(overrides)
     frames = jnp.asarray(frames)
     return tvl1_flow_pairs(frames[:-1], frames[1:], **params)

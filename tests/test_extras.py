@@ -1,0 +1,142 @@
+"""Predictor, AMG, transforms, export, baselines, native DICOM, legacy shim."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tee_optical_flow_tpu.models.amg import (
+    MaskData, batched_mask_to_box, box_nms, build_point_grid,
+    calculate_stability_score, generate_crop_boxes, mask_to_rle, rle_to_mask,
+)
+from tee_optical_flow_tpu.models.transforms import ResizeLongestSide
+
+
+def test_resize_longest_side():
+    t = ResizeLongestSide(128)
+    assert t.get_preprocess_shape(100, 200, 128) == (64, 128)
+    img = (np.random.default_rng(0).uniform(size=(50, 100, 3)) * 255).astype(np.uint8)
+    out = t.apply_image(img)
+    assert out.shape == (64, 128, 3)
+    coords = t.apply_coords(np.array([[100.0, 50.0]]), (50, 100))
+    np.testing.assert_allclose(coords, [[128.0, 64.0]])
+    boxes = t.apply_boxes(np.array([[0, 0, 100, 50]]), (50, 100))
+    np.testing.assert_allclose(boxes, [[0, 0, 128, 64]])
+
+
+def test_amg_utils(rng):
+    grid = build_point_grid(4)
+    assert grid.shape == (16, 2) and grid.min() > 0 and grid.max() < 1
+
+    masks = np.zeros((2, 10, 10), np.float32)
+    masks[0, 2:8, 2:8] = 1.0
+    score = calculate_stability_score(masks, 0.5, 0.1)
+    assert score[0] == 1.0  # binary mask is perfectly stable
+
+    boxes = batched_mask_to_box(masks > 0.5)
+    np.testing.assert_array_equal(boxes[0], [2, 2, 7, 7])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+
+    m = masks[0] > 0.5
+    rle = mask_to_rle(m)
+    np.testing.assert_array_equal(rle_to_mask(rle), m)
+
+    crops, layers = generate_crop_boxes((100, 100), 1, 0.2)
+    assert crops[0] == [0, 0, 100, 100]
+    assert len(crops) == 5  # full + 2x2
+
+    b = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], float)
+    keep = box_nms(b, np.array([0.9, 0.8, 0.7]), 0.5)
+    assert 0 in keep and 2 in keep and 1 not in keep
+
+    md = MaskData(a=np.arange(4), b=["w", "x", "y", "z"])
+    md.filter(np.array([True, False, True, False]))
+    assert md["a"].tolist() == [0, 2] and md["b"] == ["w", "y"]
+
+
+@pytest.mark.parametrize("name", ["unet", "resnet", "seresnet", "vgg",
+                                  "squeezenet", "efficientnet"])
+def test_baseline_nets(name):
+    from tee_optical_flow_tpu.models.baselines import get_network
+
+    net = get_network(name, num_classes=3)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    if name == "unet":
+        assert out.shape == (1, 64, 64, 3)
+    else:
+        assert out.shape == (1, 3)
+
+
+def test_vae_and_discriminator():
+    from tee_optical_flow_tpu.models.baselines import get_network
+
+    vae = get_network("vae", latent_dim=16)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = vae.init(jax.random.PRNGKey(0), x)
+    recon, mu, logvar = vae.apply(variables, x)
+    assert recon.shape == x.shape and mu.shape == (1, 16)
+
+    disc = get_network("discriminator")
+    v = disc.init(jax.random.PRNGKey(0), x)
+    out = disc.apply(v, x)
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+
+
+def test_predictor_and_amg_end_to_end():
+    from tee_optical_flow_tpu.models.amg import SamAutomaticMaskGenerator
+    from tee_optical_flow_tpu.models.predictor import SamPredictor
+    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+
+    model, variables = build_sam_vit_t(num_classes=2, image_size=64, seed=0)
+    pred = SamPredictor(model, variables)
+    img = (np.random.default_rng(0).uniform(size=(40, 48, 3)) * 255).astype(np.uint8)
+    with pytest.raises(RuntimeError):
+        pred.predict()
+    pred.set_image(img)
+    masks, ious, lowres = pred.predict(
+        point_coords=np.array([[24.0, 20.0]]), point_labels=np.array([1.0]))
+    assert masks.shape == (2, 40, 48) and masks.dtype == bool
+    assert ious.shape == (2,)
+
+    amg = SamAutomaticMaskGenerator(pred, points_per_side=2,
+                                    pred_iou_thresh=-10.0,
+                                    stability_score_thresh=-1.0)
+    records = amg.generate(img)
+    for r in records:
+        assert r["segmentation"].shape == (40, 48)
+        assert "bbox" in r and "predicted_iou" in r
+
+
+def test_export_roundtrip():
+    from tee_optical_flow_tpu.models.export import load_exported, save_exported
+    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+
+    model, variables = build_sam_vit_t(num_classes=2, image_size=64, seed=0)
+    path = "/tmp/sam_export_test.bin"
+    save_exported(model, variables, path, image_size=64)
+    fn = load_exported(path)
+    labels, iou = fn(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert labels.shape == (1, 16, 16)
+    os.remove(path)
+
+
+def test_native_dicom_fallback_on_garbage(tmp_path):
+    from tee_optical_flow_tpu.io.dicom_native import native_read
+
+    p = str(tmp_path / "junk.dcm")
+    with open(p, "wb") as f:
+        f.write(b"not a dicom")
+    assert native_read(p) is None
+
+
+def test_legacy_shim(tmp_path):
+    import tee_optical_flow_tpu.legacy as legacy
+
+    for name in ("sysdia_frames_by_angle", "sysdia_frames_by_ecg",
+                 "percentile_plot", "percentile_plot_radlong",
+                 "analyze_hdf5_folder", "aggregate_pkl"):
+        assert callable(getattr(legacy, name))
