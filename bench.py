@@ -3,12 +3,16 @@
 Matches the BASELINE.md north-star metric: dense TV-L1 flow over a TEE
 clip at native resolution (480x640) with the reference's OpenCV-default
 solver settings (5 scales @0.8, 5 warps, 10x30 primal-dual iterations,
-lambda 0.15, 5x5 flow median), batched over all frame pairs on one chip.
+lambda 0.15, 5x5 flow median), batched over all frame pairs on one chip,
+Pallas fused inner loop on TPU.
 
-The baseline divisor is the same compiled program on this host's CPU via
-XLA — a *stronger* baseline than the reference's single-threaded OpenCV
-DualTVL1 (measured in the literature at ~0.5-2 s/frame at VGA), so
-``vs_baseline`` is conservative.
+``vs_baseline`` divides by a recorded CPU baseline: the same compiled
+program via XLA on this host's CPU measured at 0.0611 frames/s
+(2 pairs in 32.7 s, single core, 2026-08-16; see /tmp provenance in the
+round-1 transcript). That is the same algorithm-and-settings class as the
+reference's single-threaded OpenCV DualTVL1 (literature: ~0.5-2 s/frame
+at VGA), so the ratio is conservative. Re-measure with
+``python bench.py --measure-cpu``.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,12 +25,18 @@ import time
 
 import numpy as np
 
+# XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring)
+RECORDED_CPU_BASELINE_FPS = 0.0611
+
+SOLVER_PARAMS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
+                     warps=5, outer_iters=10, inner_iters=30,
+                     use_median=True, max_disp=16)
+
 
 def _make_clip(n: int, h: int, w: int) -> np.ndarray:
     """Synthetic speckle clip with smooth global motion, in [0, 255]."""
     rng = np.random.default_rng(0)
     base = rng.uniform(size=(h + 16, w + 16)).astype(np.float32)
-    # smooth the speckle a little (separable box blur x2)
     for axis in (0, 1):
         base = (np.roll(base, 1, axis) + base + np.roll(base, -1, axis)) / 3.0
     frames = np.empty((n, h, w), np.float32)
@@ -38,65 +48,46 @@ def _make_clip(n: int, h: int, w: int) -> np.ndarray:
     return (frames - lo) / (hi - lo) * 255.0
 
 
-def _time_flow(device, frames, reps: int, params) -> float:
+def _measure(frames: np.ndarray, reps: int, use_pallas: bool) -> float:
     import jax
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
 
-    with jax.default_device(device):
-        i0 = jnp.asarray(frames[:-1])
-        i1 = jnp.asarray(frames[1:])
-        flow = tvl1_flow_pairs(i0, i1, **params)  # compile + warm
-        flow.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            flow = tvl1_flow_pairs(i0, i1, **params)
-            flow.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
-    return dt
+    i0 = jnp.asarray(frames[:-1])
+    i1 = jnp.asarray(frames[1:])
+    flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **SOLVER_PARAMS)
+    float(jnp.sum(jnp.abs(flow)))  # compile + warm (forces execution)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **SOLVER_PARAMS)
+        float(jnp.sum(jnp.abs(flow)))
+    return (time.perf_counter() - t0) / reps
 
 
 def main() -> None:
     import jax
 
-    params = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
-                  warps=5, outer_iters=10, inner_iters=30, use_median=True)
+    on_tpu = jax.default_backend() not in ("cpu",)
     h, w = 480, 640
+    if "--measure-cpu" in sys.argv:
+        clip = _make_clip(3, h, w)
+        dt = _measure(clip, reps=1, use_pallas=False)
+        print(json.dumps({"metric": "tvl1_cpu_baseline_fps",
+                          "value": round(2 / dt, 4), "unit": "frames/s",
+                          "vs_baseline": None}))
+        return
 
-    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
-    cpu = jax.devices("cpu")[0] if any(
-        d.platform == "cpu" for d in jax.local_devices()) else None
-    try:
-        cpu = jax.devices("cpu")[0]
-    except Exception:
-        cpu = None
-
-    if tpu_devices:
-        n_frames = 17  # 16 pairs resident in HBM
-        clip = _make_clip(n_frames, h, w)
-        dt = _time_flow(tpu_devices[0], clip, reps=3, params=params)
-        fps = (n_frames - 1) / dt
-    else:
-        # CPU-only environment: still produce the metric (slower)
-        n_frames = 3
-        clip = _make_clip(n_frames, h, w)
-        dt = _time_flow(jax.devices()[0], clip, reps=1, params=params)
-        fps = (n_frames - 1) / dt
-
-    vs_baseline = None
-    if cpu is not None and tpu_devices:
-        # CPU baseline: same program via XLA on this host, few pairs
-        cpu_clip = clip[:3]
-        cpu_dt = _time_flow(cpu, cpu_clip, reps=1, params=params)
-        cpu_fps = (len(cpu_clip) - 1) / cpu_dt
-        vs_baseline = fps / cpu_fps
+    n_frames = 17 if on_tpu else 3
+    clip = _make_clip(n_frames, h, w)
+    dt = _measure(clip, reps=3 if on_tpu else 1, use_pallas=on_tpu)
+    fps = (n_frames - 1) / dt
 
     print(json.dumps({
         "metric": "tvl1_flow_frames_per_sec_per_chip_480x640",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": round(fps / RECORDED_CPU_BASELINE_FPS, 1),
     }))
 
 

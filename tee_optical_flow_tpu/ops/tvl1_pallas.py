@@ -46,7 +46,7 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
                         scratch, sem,
                         *, n_iters: int, l_t: float, theta: float,
                         taut: float, tile_h: int, halo: int,
-                        height: int, width: int):
+                        height: int, width: int, padded_w: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
     # offsets are tile_h-multiples (tile_h is 8-aligned); tell Mosaic so
@@ -73,8 +73,8 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
 
     # global coordinates of slab rows (padded row r == global row
     # r + row0 - halo), for boundary masks
-    rows = lax.broadcasted_iota(jnp.int32, (slab_h, width), 0) + row0 - halo
-    cols = lax.broadcasted_iota(jnp.int32, (slab_h, width), 1)
+    rows = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 0) + row0 - halo
+    cols = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 1)
     last_row = rows == (height - 1)
     first_row = rows == 0
     last_col = cols == (width - 1)
@@ -84,7 +84,7 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     th = l_t * grad
 
     def fdx(f):
-        s = pltpu.roll(f, width - 1, 1)  # roll by -1 (shifts must be >= 0)
+        s = pltpu.roll(f, padded_w - 1, 1)  # roll by -1 (shifts must be >= 0)
         return jnp.where(last_col, 0.0, s - f)
 
     def fdy(f):
@@ -163,6 +163,9 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
     halo = -(-n_iters // 8) * 8
     # small pyramid levels: a single tile covering the image
     tile_h = min(tile_h, max(8, -(-h // 8) * 8))
+    # lane dim must be 128-aligned for Mosaic DMA; pad and mask (the
+    # boundary masks use the true width, so padding never propagates in)
+    padded_w = -(-w // 128) * 128
     # pad rows so every slab read stays in bounds; padded rows never
     # influence the valid center (masks use global coordinates)
     n_tiles = max(1, -(-h // tile_h))
@@ -170,7 +173,8 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
     slab_h = tile_h + 2 * halo
 
     def pad(x):
-        return jnp.pad(x, ((0, 0), (halo, padded_h - h + halo), (0, 0)))
+        return jnp.pad(x, ((0, 0), (halo, padded_h - h + halo),
+                           (0, padded_w - w)))
 
     inputs = [pad(x.astype(jnp.float32)) for x in
               (rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22)]
@@ -185,21 +189,23 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((10, slab_h, w), jnp.float32),
+            pltpu.VMEM((10, slab_h, padded_w), jnp.float32),
             pltpu.SemaphoreType.DMA((10,)),
         ],
     )
 
     kernel = functools.partial(
         _inner_block_kernel, n_iters=n_iters, l_t=l_t, theta=theta,
-        taut=taut, tile_h=tile_h, halo=halo, height=h, width=w)
+        taut=taut, tile_h=tile_h, halo=halo, height=h, width=w,
+        padded_w=padded_w)
 
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, padded_h, w), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((b, padded_h, padded_w),
+                                        jnp.float32)] * 6,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(offsets, *inputs)
 
-    # outputs use global row coords; drop the bucket padding
-    return tuple(o[:, :h, :] for o in outs)
+    # outputs use global row coords; drop the bucket/lane padding
+    return tuple(o[:, :h, :w] for o in outs)
