@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--train_img_list", type=str, required=True)
     parser.add_argument("--val_img_list", type=str, required=True)
     parser.add_argument("--targets", type=str, default="multi_all")
+    parser.add_argument("--prompt_type", type=str, default=None,
+                        choices=[None, "point", "box"],
+                        help="prompted fine-tuning (the reference's "
+                             "train_finetune_box variant)")
     parser.add_argument("--data_axis", type=int, default=None)
     parser.add_argument("--model_axis", type=int, default=1)
     parser.add_argument("--grad_accum", type=int, default=1)

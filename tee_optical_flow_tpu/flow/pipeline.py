@@ -38,7 +38,7 @@ from ..io.waveforms import load_all_waveforms
 from ..ops.deepflow import deepflow_clip_flow
 from ..ops.imaging import img2uint8_jnp, rgb2gray
 from ..ops.saliency import fine_grained_saliency
-from ..ops.tvl1 import tvl1_clip_flow
+from ..ops.tvl1 import tvl1_clip_flow, tvl1_flow_pairs
 from ..utils import trace_stage
 from .segment import clean_mask, predict_movie, predict_movie_thres
 
@@ -73,6 +73,53 @@ def compute_clip_flow(images: jnp.ndarray, of_algo: str = "TVL1",
     if algo == "deepflow":
         return deepflow_clip_flow(images, config=config)
     raise OpticalFlowCalculationError("OF_algo only supports deepflow or TVL1")
+
+
+def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
+                              config: Optional[OpticalFlowCalculationConfig] = None
+                              ) -> jnp.ndarray:
+    """Multi-chip clip flow: the frame-pair axis sharded over the mesh's
+    'data' axis (the honest TPU mapping of "scale the sequence axis",
+    SURVEY.md §5 — pairs are independent, so no halo exchange is needed
+    beyond each pair's own two frames).
+
+    Pads the pair count to the data-axis size; XLA partitions the whole
+    multi-scale solve with zero collectives.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    config = config or default_optical_flow_config()
+    images = jnp.asarray(images)
+    i0 = images[:-1]
+    i1 = images[1:]
+    n_pairs = i0.shape[0]
+    n_data = mesh.shape["data"]
+    pad = (-n_pairs) % n_data
+    if pad:
+        i0 = jnp.concatenate([i0, jnp.repeat(i0[-1:], pad, 0)], axis=0)
+        i1 = jnp.concatenate([i1, jnp.repeat(i1[-1:], pad, 0)], axis=0)
+    sharding = NamedSharding(mesh, P("data", None, None))
+    i0 = jax.device_put(i0, sharding)
+    i1 = jax.device_put(i1, sharding)
+
+    if of_algo.lower() == "tvl1":
+        flow = tvl1_flow_pairs(
+            i0, i1, lam=config.lambda_value, tau=config.tvl1_tau,
+            theta=config.tvl1_theta, nscales=config.tvl1_nscales,
+            zoom=config.tvl1_zoom_factor, warps=config.tvl1_warps,
+            outer_iters=config.tvl1_outer_iterations,
+            inner_iters=config.tvl1_inner_iterations,
+            use_median=config.tvl1_median_filtering,
+            max_disp=config.tvl1_max_displacement)
+    else:
+        from ..ops.deepflow import deepflow_pairs
+
+        flow = deepflow_pairs(i0, i1, alpha=config.deepflow_alpha,
+                              delta=config.deepflow_delta,
+                              gamma=config.deepflow_gamma,
+                              iters=config.deepflow_iterations,
+                              nscales=config.deepflow_nscales)
+    return flow[:n_pairs]
 
 
 def process_video(dcm_path: str, save_path: str,

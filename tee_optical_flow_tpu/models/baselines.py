@@ -237,7 +237,9 @@ class Discriminator(nn.Module):
             x = nn.Conv(f, (4, 4), strides=(2, 2), padding=1, name=f"d{i}")(x)
             x = nn.leaky_relu(x, 0.2)
             f *= 2
-        return nn.Conv(1, (4, 4), padding=1, name="head")(x)
+        # SAME padding: VALID with a 4x4 head would collapse small inputs
+        # to an empty map (and a NaN mean)
+        return nn.Conv(1, (4, 4), padding="SAME", name="head")(x)
 
 
 def get_network(name: str, num_classes: int = 2, **kw):

@@ -24,19 +24,11 @@ tile's global row offset (scalar-prefetched).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _mask_cols(w: int, dtype=jnp.float32):
-    col = lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    return col
 
 
 def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row starts

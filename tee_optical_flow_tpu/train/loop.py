@@ -113,7 +113,8 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
                     if_update_encoder: bool = True,
                     lora_merge: Optional[Callable] = None,
                     remat: bool = False,
-                    param_sharding_fn: Optional[Callable] = None):
+                    param_sharding_fn: Optional[Callable] = None,
+                    prompt_type: Optional[str] = None):
     """Returns (init_state, train_step). State = (trainable, frozen,
     batch_stats, opt_state); batch = (images (B,S,S,3) normalized,
     labels (B,out,out) int32).
@@ -124,23 +125,26 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
     """
     mesh = runtime.mesh
 
-    def apply_model(params, batch_stats, images):
+    def apply_model(params, batch_stats, images, boxes):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         fwd = model.apply
         if remat:
             fwd = jax.checkpoint(fwd, static_argnums=())
-        return fwd(variables, images, multimask_output=True, train=True,
+        # box prompts flow into the prompt encoder like the reference's
+        # box-prompted fine-tune (SingleGPU_train_finetune_box.py:93-105)
+        return fwd(variables, images, boxes=boxes, multimask_output=True,
+                   train=True,
                    mutable=["batch_stats"] if batch_stats else [])
 
-    def loss_fn(trainable, frozen, batch_stats, images, labels):
+    def loss_fn(trainable, frozen, batch_stats, images, labels, boxes):
         if finetune_type == "lora":
             params = lora_merge(frozen, trainable)
         else:
             params = merge_params(trainable, frozen)
             params = jax.tree.map(lambda x: x, params)
-        (out, mutated) = apply_model(params, batch_stats, images)
+        (out, mutated) = apply_model(params, batch_stats, images, boxes)
         logits, _iou = out
         total, ld, lc = combined_loss(logits, labels)
         new_stats = mutated.get("batch_stats", batch_stats) if mutated else batch_stats
@@ -148,9 +152,10 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def _step(trainable, frozen, batch_stats, opt_state, images, labels):
+    def _step(trainable, frozen, batch_stats, opt_state, images, labels,
+              boxes=None):
         (total, (ld, lc, new_stats)), grads = grad_fn(
-            trainable, frozen, batch_stats, images, labels)
+            trainable, frozen, batch_stats, images, labels, boxes)
         updates, new_opt = runtime.tx.update(grads, opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         metrics = {"total_loss": total, "loss_dice": ld, "loss_ce": lc}
@@ -161,13 +166,17 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
     lsh = batch_sharding(mesh, ndim=3)
     _jitted = jax.jit(_step, donate_argnums=(0, 2, 3))
 
-    def train_step(trainable, frozen, batch_stats, opt_state, images, labels):
+    def train_step(trainable, frozen, batch_stats, opt_state, images, labels,
+                   boxes=None):
         # commit the batch to the data axis; state keeps whatever sharding
         # init_state committed it with (replicated or model-sharded), and
         # XLA partitions the step from those
         images = jax.device_put(images, bsh)
         labels = jax.device_put(labels, lsh)
-        return _jitted(trainable, frozen, batch_stats, opt_state, images, labels)
+        if boxes is not None:
+            boxes = jax.device_put(boxes, batch_sharding(mesh, ndim=boxes.ndim))
+        return _jitted(trainable, frozen, batch_stats, opt_state, images,
+                       labels, boxes)
 
     def init_state(variables, lora_params=None):
         params = variables["params"]
