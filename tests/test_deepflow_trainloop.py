@@ -1,0 +1,91 @@
+"""DeepFlow backend accuracy + the full train_model loop end to end."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy import ndimage
+
+from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs, deepflow_clip_flow
+
+
+def _texture(rng, h=64, w=64, smooth=3.0):
+    img = ndimage.gaussian_filter(rng.uniform(size=(h, w)), smooth)
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255.0).astype(np.float32)
+
+
+def test_deepflow_recovers_subpixel_shift(rng):
+    img = _texture(rng)
+    dx, dy = 0.8, -0.5
+    shifted = ndimage.shift(img, (dy, dx), order=3, mode="nearest")
+    flow = np.asarray(deepflow_pairs(img[None], shifted[None],
+                                     nscales=3, zoom=0.5, iters=30))[0]
+    interior = flow[10:-10, 10:-10]
+    epe = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(epe) < 0.3, f"median EPE {np.median(epe):.3f}"
+
+
+def test_deepflow_zero_motion(rng):
+    img = _texture(rng, 48, 48)
+    flow = np.asarray(deepflow_pairs(img[None], img[None],
+                                     nscales=2, zoom=0.5, iters=10))[0]
+    assert np.abs(flow).max() < 0.05
+
+
+def test_deepflow_clip_shape(rng):
+    clip = np.stack([_texture(rng, 32, 32) for _ in range(3)])
+    flow = np.asarray(deepflow_clip_flow(clip, nscales=2, iters=5))
+    assert flow.shape == (2, 32, 32, 2)
+
+
+def test_train_model_full_loop(tmp_path, rng):
+    """The whole fine-tuning loop on a synthetic learnable task: epochs,
+    eval cadence, tensorboard scalars, best-DSC checkpoint, early stop."""
+    from tee_optical_flow_tpu.config import TrainConfig
+    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+    from tee_optical_flow_tpu.train.loop import train_model
+
+    IMG = 64
+    model, variables = build_sam_vit_t(num_classes=2, image_size=IMG, seed=0)
+
+    # learnable task: label = bright blob location
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        images = r.normal(scale=0.1, size=(8, IMG, IMG, 3)).astype(np.float32)
+        labels = np.zeros((8, IMG // 4, IMG // 4), np.int32)
+        for i in range(8):
+            cy, cx = r.integers(4, IMG // 4 - 4, size=2)
+            labels[i, cy - 3:cy + 3, cx - 3:cx + 3] = 1
+            images[i, cy * 4 - 12:cy * 4 + 12, cx * 4 - 12:cx * 4 + 12, :] += 1.0
+        return images, labels
+
+    cfg = TrainConfig(num_cls=2, image_size=IMG, out_size=IMG // 4, b=8,
+                      lr=3e-4, warmup_period=2, epochs=3, eval_interval=1,
+                      early_stop_patience=10,
+                      dir_checkpoint=str(tmp_path / "run0"))
+
+    result = train_model(
+        model, variables,
+        train_batches=lambda: iter([make_batch(s) for s in range(2)]),
+        val_batches=lambda: iter([make_batch(99)]),
+        cfg=cfg, steps_per_epoch=2)
+
+    assert result["best_dsc"] > 0
+    assert len(result["history"]) >= 2
+    # best-DSC checkpoint + args.json persisted
+    assert os.path.isdir(tmp_path / "run0" / "checkpoint_best")
+    assert os.path.exists(tmp_path / "run0" / "args.json")
+    # tensorboard scalars written
+    assert os.path.isdir(tmp_path / "run0" / "log")
+
+    # restore round-trips
+    from tee_optical_flow_tpu.train.checkpoint import load_checkpoint, load_run_config
+
+    template = {"params": result["variables"]["params"],
+                "batch_stats": result["variables"]["batch_stats"]}
+    restored = load_checkpoint(str(tmp_path / "run0"), template)
+    assert set(restored) >= {"params"}
+    rc = load_run_config(str(tmp_path / "run0"))
+    assert rc.num_cls == 2 and rc.image_size == IMG
