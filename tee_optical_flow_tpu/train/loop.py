@@ -248,7 +248,8 @@ def make_eval_step(model, runtime: TrainConfigRuntime, num_cls: int,
 def train_model(model, variables, train_batches: Callable[[], Iterable],
                 val_batches: Callable[[], Iterable], cfg: TrainConfig,
                 steps_per_epoch: int, lora_params=None, lora_merge=None,
-                writer=None, mesh=None) -> Dict[str, Any]:
+                writer=None, mesh=None, resume: bool = False,
+                save_state_every: int = 0) -> Dict[str, Any]:
     """Run the fine-tuning loop. ``train_batches``/``val_batches`` are
     callables returning fresh iterators of (images, labels) numpy batches
     per epoch. Returns {'variables', 'trainable', 'best_dsc', 'history'}."""
@@ -263,6 +264,24 @@ def train_model(model, variables, train_batches: Callable[[], Iterable],
 
     trainable, frozen, batch_stats, opt_state = init_state(variables, lora_params)
 
+    start_epoch = 0
+    iter_num = 0
+    if resume:
+        import os as _os
+
+        from .checkpoint import load_train_state
+
+        if _os.path.isdir(_os.path.join(cfg.dir_checkpoint, "train_state")):
+            template = {"trainable": trainable, "frozen": frozen,
+                        "batch_stats": batch_stats, "opt_state": opt_state}
+            state, start_epoch, iter_num = load_train_state(
+                cfg.dir_checkpoint, template)
+            trainable = state["trainable"]
+            frozen = state["frozen"]
+            batch_stats = state["batch_stats"]
+            opt_state = state["opt_state"]
+            logger.info("resumed from epoch %d (iter %d)", start_epoch, iter_num)
+
     if writer is None:
         try:
             from tensorboardX import SummaryWriter
@@ -273,10 +292,9 @@ def train_model(model, variables, train_batches: Callable[[], Iterable],
             writer = None
 
     best_dsc = -1.0
-    last_update_epoch = 0
-    iter_num = 0
+    last_update_epoch = start_epoch
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         epoch_loss = 0.0
         nsteps = 0
         t0 = time.perf_counter()
@@ -329,6 +347,12 @@ def train_model(model, variables, train_batches: Callable[[], Iterable],
             elif (epoch - last_update_epoch) > cfg.early_stop_patience:
                 logger.info("Training finished (early stop at epoch %d)", epoch)
                 break
+
+        if save_state_every and (epoch + 1) % save_state_every == 0:
+            from .checkpoint import save_train_state
+
+            save_train_state(cfg.dir_checkpoint, trainable, frozen,
+                             batch_stats, opt_state, epoch + 1, iter_num)
 
     if writer is not None:
         writer.close()

@@ -89,3 +89,25 @@ def test_train_model_full_loop(tmp_path, rng):
     assert set(restored) >= {"params"}
     rc = load_run_config(str(tmp_path / "run0"))
     assert rc.num_cls == 2 and rc.image_size == IMG
+
+
+def test_train_state_resume(tmp_path, rng):
+    """Optimizer-state save/resume round-trip (beyond the reference's
+    unused epoch_ini flag)."""
+    import optax
+    from tee_optical_flow_tpu.train.checkpoint import (
+        load_train_state, save_train_state)
+
+    trainable = {"w": np.ones((4, 4), np.float32)}
+    frozen = {"f": np.zeros(3, np.float32)}
+    stats = {"bn": {"mean": np.zeros(4, np.float32)}}
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(trainable)
+
+    save_train_state(str(tmp_path), trainable, frozen, stats, opt_state,
+                     epoch=7, iter_num=42)
+    template = {"trainable": trainable, "frozen": frozen,
+                "batch_stats": stats, "opt_state": opt_state}
+    state, epoch, it = load_train_state(str(tmp_path), template)
+    assert epoch == 7 and it == 42
+    np.testing.assert_array_equal(state["trainable"]["w"], trainable["w"])
