@@ -247,6 +247,10 @@ def get_network(name: str, num_classes: int = 2, **kw):
     (utils/utils.py:114)."""
     table = {
         "unet": lambda: UNet(num_classes=num_classes, **kw),
+        "transunet": lambda: TransUNet(num_classes=num_classes, **kw),
+        "munet": lambda: MUNet(num_classes=num_classes, **kw),
+        "goinnet": lambda: GoinNet(num_classes=num_classes, **kw),
+        "vit": lambda: ViTEncoder(**kw),
         "resnet": lambda: ResNet(num_classes=num_classes, **kw),
         "seresnet": lambda: ResNet(num_classes=num_classes, use_se=True, **kw),
         "vgg": lambda: VGG(num_classes=num_classes, **kw),
@@ -258,3 +262,166 @@ def get_network(name: str, num_classes: int = 2, **kw):
     if name not in table:
         raise ValueError(f"unknown network {name!r}; choose from {sorted(table)}")
     return table[name]()
+
+
+class ViTEncoder(nn.Module):
+    """Small generic ViT (reference models/sam/modeling/vit.py:19-135:
+    patch embedding + standard pre-norm transformer encoder). Used by
+    SmallDecoder and standalone as a classifier backbone."""
+
+    dim: int = 256
+    depth: int = 4
+    heads: int = 8
+    patch: int = 8
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), name="patch_embed")(x)
+        hh, ww = x.shape[1], x.shape[2]
+        tokens = x.reshape(b, hh * ww, self.dim)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, hh * ww, self.dim))
+        tokens = tokens + pos
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"ln1_{i}")(tokens)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, name=f"attn_{i}")(y, y)
+            tokens = tokens + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(tokens)
+            y = nn.Dense(int(self.dim * self.mlp_ratio), name=f"fc1_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.dim, name=f"fc2_{i}")(y)
+            tokens = tokens + y
+        return tokens.reshape(b, hh, ww, self.dim)
+
+
+class SmallDecoder(nn.Module):
+    """Segmenter-style mask decoder alternative (reference
+    models/sam/modeling/mask_decoder.py SmallDecoder:18-102): class tokens
+    attend over image tokens through a small transformer; masks come from
+    token/patch dot products."""
+
+    num_classes: int = 2
+    dim: int = 256
+    depth: int = 2
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, image_embeddings, train: bool = False):
+        b, h, w, c = image_embeddings.shape
+        tokens = image_embeddings.reshape(b, h * w, c)
+        if c != self.dim:
+            tokens = nn.Dense(self.dim, name="proj_in")(tokens)
+        cls = self.param("cls_tokens", nn.initializers.normal(0.02),
+                         (self.num_classes, self.dim))
+        cls = jnp.broadcast_to(cls[None], (b, self.num_classes, self.dim))
+        seq = jnp.concatenate([cls, tokens], axis=1)
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"ln1_{i}")(seq)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, name=f"attn_{i}")(y, y)
+            seq = seq + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(seq)
+            y = nn.Dense(self.dim * 4, name=f"fc1_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.dim, name=f"fc2_{i}")(y)
+            seq = seq + y
+        cls_out = seq[:, :self.num_classes]           # (B, K, D)
+        patch_out = seq[:, self.num_classes:]         # (B, HW, D)
+        masks = jnp.einsum("bkd,bnd->bkn", cls_out, patch_out)
+        return masks.reshape(b, self.num_classes, h, w)
+
+
+class _ResNetEncoder(nn.Module):
+    """Shared ResNet-34-style encoder with skip taps (the backbone the
+    reference's TransUNet/MUNet/GoinNet wrap, unet/unet_model.py:83-516)."""
+
+    stages: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skips = []
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        x = nn.relu(x)
+        skips.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        f = 64
+        for s, blocks in enumerate(self.stages):
+            for i in range(blocks):
+                stride = 2 if (s > 0 and i == 0) else 1
+                x = ResBlock(f, stride, name=f"s{s}b{i}")(x, train)
+            skips.append(x)
+            f *= 2
+        return x, skips
+
+
+class TransUNet(nn.Module):
+    """ResNet-encoder UNet with a transformer bottleneck
+    (reference unet/unet_model.py TransUNet:83)."""
+
+    num_classes: int = 2
+    trans_depth: int = 2
+    trans_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bottom, skips = _ResNetEncoder(name="encoder")(x, train)
+        b, h, w, c = bottom.shape
+        tokens = bottom.reshape(b, h * w, c)
+        for i in range(self.trans_depth):
+            y = nn.LayerNorm(name=f"t_ln1_{i}")(tokens)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.trans_heads, name=f"t_attn_{i}")(y, y)
+            tokens = tokens + y
+            y = nn.LayerNorm(name=f"t_ln2_{i}")(tokens)
+            y = nn.Dense(c * 2, name=f"t_fc1_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(c, name=f"t_fc2_{i}")(y)
+            tokens = tokens + y
+        x = tokens.reshape(b, h, w, c)
+        for d, skip in enumerate(reversed(skips[:-1])):
+            bb, hh, ww, _ = x.shape
+            x = jax.image.resize(x, (bb, skip.shape[1], skip.shape[2],
+                                     x.shape[-1]), "nearest")
+            x = nn.Conv(skip.shape[-1], (3, 3), padding=1, name=f"up{d}")(x)
+            x = nn.relu(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = nn.Conv(skip.shape[-1], (3, 3), padding=1, name=f"fuse{d}")(x)
+            x = nn.relu(x)
+        bb, hh, ww, _ = x.shape
+        in_h, in_w = bb and x.shape[1] * 2, x.shape[2] * 2
+        x = jax.image.resize(x, (bb, in_h, in_w, x.shape[-1]), "nearest")
+        return nn.Conv(self.num_classes, (1, 1), name="head")(x)
+
+
+class MUNet(nn.Module):
+    """ResNet-encoder UNet (no transformer bottleneck) — the reference's
+    MUNet variant (unet/unet_model.py:274)."""
+
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return TransUNet(num_classes=self.num_classes, trans_depth=0,
+                         name="core")(x, train)
+
+
+class GoinNet(nn.Module):
+    """ResNet-UNet emitting segmentation plus an auxiliary global
+    classification head (reference unet/unet_model.py GoinNet:427)."""
+
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bottom, _ = _ResNetEncoder(name="encoder")(x, train)
+        seg = TransUNet(num_classes=self.num_classes, trans_depth=1,
+                        name="seg")(x, train)
+        aux = nn.Dense(self.num_classes, name="aux_head")(
+            jnp.mean(bottom, axis=(1, 2)))
+        return seg, aux

@@ -99,3 +99,18 @@ def bce_dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     bce = jnp.mean(jnp.maximum(logits32, 0) - logits32 * onehot +
                    jnp.log1p(jnp.exp(-jnp.abs(logits32))))
     return alpha * bce + beta * dice_loss(logits, labels)
+
+
+def weighted_cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                                eps: float = 1e-7) -> jnp.ndarray:
+    """CE weighted by inverse class frequency (reference utils/losses.py
+    WeightedCrossEntropyLoss:180-207)."""
+    num_cls = logits.shape[1]
+    onehot = jax.nn.one_hot(labels, num_cls, axis=1, dtype=jnp.float32)
+    freq = jnp.mean(onehot, axis=(0, 2, 3))
+    weights = 1.0 / (freq + eps)
+    weights = weights / jnp.sum(weights)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    per_class = -jnp.sum(onehot * logp, axis=(0, 2, 3)) / (
+        jnp.sum(onehot, axis=(0, 2, 3)) + eps)
+    return jnp.sum(weights * per_class)

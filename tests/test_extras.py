@@ -140,3 +140,55 @@ def test_legacy_shim(tmp_path):
                  "percentile_plot", "percentile_plot_radlong",
                  "analyze_hdf5_folder", "aggregate_pkl"):
         assert callable(getattr(legacy, name))
+
+
+def test_new_baselines_and_decoder():
+    from tee_optical_flow_tpu.models.baselines import (
+        GoinNet, MUNet, SmallDecoder, TransUNet, ViTEncoder, get_network)
+
+    x = jnp.zeros((1, 64, 64, 3))
+    for name, out_check in (("transunet", lambda o: o.shape == (1, 64, 64, 2)),
+                            ("munet", lambda o: o.shape == (1, 64, 64, 2))):
+        net = get_network(name, num_classes=2)
+        v = net.init(jax.random.PRNGKey(0), x)
+        assert out_check(net.apply(v, x))
+
+    g = GoinNet(num_classes=2)
+    v = g.init(jax.random.PRNGKey(0), x)
+    seg, aux = g.apply(v, x)
+    assert seg.shape == (1, 64, 64, 2) and aux.shape == (1, 2)
+
+    vit = ViTEncoder(dim=64, depth=1, heads=4, patch=8)
+    v = vit.init(jax.random.PRNGKey(0), x)
+    feats = vit.apply(v, x)
+    assert feats.shape == (1, 8, 8, 64)
+
+    dec = SmallDecoder(num_classes=3, dim=64, depth=1, heads=4)
+    v = dec.init(jax.random.PRNGKey(0), feats)
+    masks = dec.apply(v, feats)
+    assert masks.shape == (1, 3, 8, 8)
+
+
+def test_weighted_ce_and_visutils(tmp_path):
+    from tee_optical_flow_tpu.train.losses import weighted_cross_entropy_loss
+    from tee_optical_flow_tpu.train.visutils import create_logger, eval_seg, vis_image
+
+    rng2 = np.random.default_rng(0)
+    logits = jnp.asarray(rng2.normal(size=(2, 3, 8, 8)), jnp.float32)
+    labels = jnp.asarray(rng2.integers(0, 3, size=(2, 8, 8)), jnp.int32)
+    loss = float(weighted_cross_entropy_loss(logits, labels))
+    assert np.isfinite(loss) and loss > 0
+
+    lg = create_logger(str(tmp_path / "logs"))
+    lg.info("hello")
+    assert any(f.endswith(".log") for f in os.listdir(tmp_path / "logs"))
+
+    imgs = rng2.uniform(size=(2, 16, 16, 3))
+    preds = rng2.integers(0, 2, size=(2, 16, 16))
+    trues = rng2.integers(0, 2, size=(2, 16, 16))
+    p = vis_image(imgs, preds, trues, str(tmp_path / "vis.png"))
+    assert os.path.exists(p)
+
+    iou, dice = eval_seg(rng2.normal(size=(16, 16)),
+                         rng2.integers(0, 2, size=(16, 16)))
+    assert 0 <= iou <= 1 and 0 <= dice <= 1
