@@ -134,6 +134,39 @@ def convert_tinyvit(sd: Dict[str, Any], params: Dict, stats: Dict,
     _ln2d(params, p + "neck.3", fprefix + ("neck_ln2",), sd)
 
 
+def convert_vitdet(sd: Dict[str, Any], params: Dict,
+                   prefix: str = "image_encoder.",
+                   fprefix: Tuple[str, ...] = ("image_encoder",),
+                   depth: int = 12) -> None:
+    """Map a torch ViT-Det SAM encoder (reference image_encoder.py) onto
+    our ImageEncoderViT tree (vit_b/l/h)."""
+    p = prefix
+    _set(params, fprefix + ("patch_embed", "kernel"),
+         _conv(sd[p + "patch_embed.proj.weight"]))
+    _set(params, fprefix + ("patch_embed", "bias"),
+         _t(sd[p + "patch_embed.proj.bias"]))
+    if p + "pos_embed" in sd:
+        _set(params, fprefix + ("pos_embed",), _t(sd[p + "pos_embed"]))
+    for i in range(depth):
+        base = f"{p}blocks.{i}"
+        fb = fprefix + (f"block{i}",)
+        _ln(params, f"{base}.norm1", fb + ("norm1",), sd)
+        _ln(params, f"{base}.norm2", fb + ("norm2",), sd)
+        _linear(params, f"{base}.attn.qkv", fb + ("attn", "qkv"), sd)
+        _linear(params, f"{base}.attn.proj", fb + ("attn", "proj"), sd)
+        if f"{base}.attn.rel_pos_h" in sd:
+            _set(params, fb + ("attn", "rel_pos_h"),
+                 _t(sd[f"{base}.attn.rel_pos_h"]))
+            _set(params, fb + ("attn", "rel_pos_w"),
+                 _t(sd[f"{base}.attn.rel_pos_w"]))
+        _linear(params, f"{base}.mlp.lin1", fb + ("mlp", "lin1"), sd)
+        _linear(params, f"{base}.mlp.lin2", fb + ("mlp", "lin2"), sd)
+    _set(params, fprefix + ("neck_conv1", "kernel"), _conv(sd[p + "neck.0.weight"]))
+    _ln2d(params, p + "neck.1", fprefix + ("neck_ln1",), sd)
+    _set(params, fprefix + ("neck_conv2", "kernel"), _conv(sd[p + "neck.2.weight"]))
+    _ln2d(params, p + "neck.3", fprefix + ("neck_ln2",), sd)
+
+
 def convert_prompt_encoder(sd, params, prefix="prompt_encoder.",
                            fprefix=("prompt_encoder",)):
     _set(params, fprefix + ("pe_layer", "positional_encoding_gaussian_matrix"),
@@ -219,6 +252,9 @@ def convert_sam_state_dict(sd: Dict[str, Any], variables: Dict,
 
     if arch == "vit_t":
         convert_tinyvit(sd, params, stats)
+    elif arch in ("vit_b", "vit_l", "vit_h"):
+        depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[arch]
+        convert_vitdet(sd, params, depth=depth)
     else:
         raise CheckpointError(f"Converter for arch {arch!r} not implemented yet")
     convert_prompt_encoder(sd, params)

@@ -235,3 +235,79 @@ def test_full_sam_conversion_structural():
     np.testing.assert_allclose(
         p["image_encoder"]["stage3_block1"]["attn"]["qkv"]["kernel"],
         sd["image_encoder.layers.3.blocks.1.attn.qkv.weight"].detach().numpy().T)
+
+
+def test_vitdet_block_parity():
+    """One ViT-Det block (windowed rel-pos attention), torch vs flax."""
+    import jax
+    import jax.numpy as jnp
+    from models.sam.modeling.image_encoder import Block as TorchBlock
+
+    from tee_optical_flow_tpu.models.convert import _linear, _ln, _set, _t
+    from tee_optical_flow_tpu.models.image_encoder import Block
+
+    _torch_seed()
+    dim, heads, ws = 96, 4, 7
+    args = SimpleNamespace(
+        if_encoder_adapter=False, encoder_adapter_depths=[], thd=False,
+        encoder_depth_layer=[], depth=1, image_size=1024)
+    tb = TorchBlock(args, dim=dim, num_heads=heads, use_rel_pos=True,
+                    window_size=ws, input_size=(14, 14))
+    tb.eval()
+    # give the zero-init rel-pos tables real values so the test is sharp
+    with torch.no_grad():
+        tb.attn.rel_pos_h.normal_(0, 0.05)
+        tb.attn.rel_pos_w.normal_(0, 0.05)
+    sd = tb.state_dict()
+
+    fb = Block(dim, heads, window_size=ws, input_size=(14, 14))
+    x = np.random.default_rng(0).normal(size=(2, 14, 14, dim)).astype(np.float32)
+    variables = fb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    _ln(params, "norm1", ("norm1",), sd)
+    _ln(params, "norm2", ("norm2",), sd)
+    _linear(params, "attn.qkv", ("attn", "qkv"), sd)
+    _linear(params, "attn.proj", ("attn", "proj"), sd)
+    _set(params, ("attn", "rel_pos_h"), _t(sd["attn.rel_pos_h"]))
+    _set(params, ("attn", "rel_pos_w"), _t(sd["attn.rel_pos_w"]))
+    _linear(params, "mlp.lin1", ("mlp", "lin1"), sd)
+    _linear(params, "mlp.lin2", ("mlp", "lin2"), sd)
+
+    ours = np.asarray(fb.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tb(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-4)
+
+
+def test_vitdet_full_conversion_structural():
+    """Every torch vit_b tensor maps onto our ImageEncoderViT tree."""
+    import jax
+    from models.sam.modeling.image_encoder import ImageEncoderViT as TorchEnc
+    from functools import partial as _partial
+    import torch.nn as tnn
+
+    from tee_optical_flow_tpu.models.convert import convert_vitdet
+    from tee_optical_flow_tpu.models.image_encoder import ImageEncoderViT
+
+    _torch_seed()
+    args = SimpleNamespace(
+        if_encoder_adapter=False, encoder_adapter_depths=[], thd=False,
+        encoder_depth_layer=[], depth=1, image_size=128,
+        if_split_encoder_gpus=False, devices=["cpu", "cpu"],
+        gpu_fractions=[0.5, 0.5], chunk=None)
+    tenc = TorchEnc(args, img_size=128, embed_dim=96, depth=2, num_heads=4,
+                    use_abs_pos=True, use_rel_pos=True, window_size=7,
+                    global_attn_indexes=(1,),
+                    norm_layer=_partial(tnn.LayerNorm, eps=1e-6))
+    sd = {f"image_encoder.{k}": v for k, v in tenc.state_dict().items()}
+
+    import jax.numpy as jnp
+    fenc = ImageEncoderViT(img_size=128, embed_dim=96, depth=2, num_heads=4,
+                           window_size=7, global_attn_indexes=(1,))
+    variables = fenc.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 128, 3)))
+    params = jax.tree.map(np.asarray, variables["params"])
+    convert_vitdet(sd, {"image_encoder": params}, depth=2)
+    np.testing.assert_allclose(
+        params["neck_ln1"]["weight"], sd["image_encoder.neck.1.weight"].numpy())
