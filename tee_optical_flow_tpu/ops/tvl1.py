@@ -33,7 +33,14 @@ from jax import lax
 from .warp import (
     build_pyramid, centered_gradient, divergence, forward_diff,
     median_filter_5x5, pyramid_shapes, resize_bilinear, warp_many_shift,
+    warp_many_shift_tiled,
 )
+
+# tiled warping kicks in when the displacement bound exceeds the local
+# residual radius: per-tile integer bases + a small hat-sum beat the dense
+# (2*max_disp+1)^2 sum by ~4x at max_disp=16 (see warp_many_shift_tiled)
+_WARP_LOCAL_R = 8
+_WARP_TILE_H = 32
 
 _GRAD_EPS = 1e-10
 
@@ -52,8 +59,13 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
 
     def warp_body(_, carry):
         u, v, p11, p12, p21, p22 = carry
-        i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
-                                          max_disp=max_disp)
+        if max_disp > _WARP_LOCAL_R:
+            i1w, i1wx, i1wy = warp_many_shift_tiled(
+                (i1, i1x, i1y), u, v, max_disp=max_disp,
+                local_r=_WARP_LOCAL_R, tile_h=_WARP_TILE_H)
+        else:
+            i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
+                                              max_disp=max_disp)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u - i1wy * v - i0
 
