@@ -16,8 +16,7 @@ import numpy as np
 
 from .analysis import calculate_3dhist, calculate_3dhist_radlong
 from .config import (
-    AnalysisConfig, CardiacCycleConfig, PeakDetectionConfig,
-    ProcessingConfig, VisualizationConfig,
+    AnalysisConfig, CardiacCycleConfig, ProcessingConfig, VisualizationConfig,
 )
 from .dataset import OpticalFlowDataset
 from .signal.cycles import create_detector

@@ -19,9 +19,8 @@ import numpy as np
 
 from ..analysis import calculate_3dhist, calculate_3dhist_radlong
 from ..config import (
-    AnalysisConfig, CardiacCycleConfig, PeakDetectionConfig,
-    ProcessingConfig, VisualizationConfig, arterial_gated_config,
-    ecg_gated_config,
+    AnalysisConfig, ProcessingConfig, VisualizationConfig,
+    arterial_gated_config, ecg_gated_config,
 )
 from ..dataset import OpticalFlowDataset
 from ..io.tabular import aggregate_pkl_files

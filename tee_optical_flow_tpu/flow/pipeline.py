@@ -31,7 +31,7 @@ import numpy as np
 from ..config import (
     OpticalFlowCalculationConfig, default_optical_flow_config,
 )
-from ..exceptions import ConfigurationError, DICOMReadError, OpticalFlowCalculationError
+from ..exceptions import ConfigurationError, OpticalFlowCalculationError
 from ..io.dicom import extract_metadata, read_dicom_clip
 from ..io.hdf5 import save_optical_flow_hdf5
 from ..io.waveforms import load_all_waveforms
@@ -40,7 +40,7 @@ from ..ops.imaging import img2uint8_jnp, rgb2gray
 from ..ops.saliency import fine_grained_saliency
 from ..ops.tvl1 import tvl1_clip_flow, tvl1_flow_pairs
 from ..utils import trace_stage
-from .segment import clean_mask, predict_movie, predict_movie_thres
+from .segment import predict_movie, predict_movie_thres
 
 logger = logging.getLogger(__name__)
 

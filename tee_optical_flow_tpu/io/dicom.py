@@ -20,7 +20,6 @@ subset of DICOM this pipeline needs, host-side:
 from __future__ import annotations
 
 import logging
-import math
 import os
 import struct
 from typing import Any, Dict, List, Optional, Tuple

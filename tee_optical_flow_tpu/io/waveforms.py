@@ -16,7 +16,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..config import OpticalFlowCalculationConfig, default_optical_flow_config
-from ..exceptions import WaveformLoadError
 
 logger = logging.getLogger(__name__)
 

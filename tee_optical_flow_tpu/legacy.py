@@ -11,12 +11,10 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import numpy as np
-
 from .analysis import (
     calc_bidirectional_hist, calculate_3dhist, calculate_3dhist_radlong,
 )
-from .batch.cohort import analyze_cohort_file, run_cohort_analysis
+from .batch.cohort import run_cohort_analysis
 from .config import CardiacCycleConfig, ProcessingConfig
 from .io.tabular import aggregate_pkl_files as aggregate_pkl
 from .signal.cycles import (

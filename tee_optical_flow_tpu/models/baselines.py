@@ -11,7 +11,7 @@ the same ``get_network`` style factory (reference utils/utils.py:114).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

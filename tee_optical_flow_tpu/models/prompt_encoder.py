@@ -11,7 +11,7 @@ None, calculate_optical_flow.py:66-71).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

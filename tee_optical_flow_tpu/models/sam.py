@@ -24,7 +24,6 @@ from flax import linen as nn
 from ..ops.imaging import IMAGENET_MEAN, IMAGENET_STD
 from .mask_decoder import MaskDecoder
 from .prompt_encoder import PromptEncoder
-from .tinyvit import TinyViT
 
 
 class Sam(nn.Module):

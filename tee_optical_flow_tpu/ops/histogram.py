@@ -11,7 +11,6 @@ is applied by ``carry_forward`` on the host (tiny data, ragged policy).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ break fusion; iteration counts are config knobs instead
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ batched on device.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, Iterable
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp

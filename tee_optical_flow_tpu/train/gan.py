@@ -7,7 +7,7 @@ WGAN-GP, expressed functionally for optax.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import traverse_util
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import TrainConfig
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding

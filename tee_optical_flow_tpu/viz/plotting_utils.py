@@ -6,8 +6,6 @@ pipeline runs never pay the import.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import matplotlib
 
 matplotlib.use("Agg", force=False)
