@@ -72,8 +72,14 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     last_col = cols == (width - 1)
     first_col = cols == 0
 
-    grad_safe = jnp.maximum(grad, 1e-10)
+    # loop-invariant precomputation: thresholds, scaled gradients, and the
+    # data-step slopes; turns two divisions per iteration into multiplies
     th = l_t * grad
+    inv_grad = jnp.where(grad > 1e-10, 1.0 / jnp.maximum(grad, 1e-10), 0.0)
+    ltx = l_t * i1wx
+    lty = l_t * i1wy
+    gx = i1wx * inv_grad
+    gy = i1wy * inv_grad
 
     def fdx(f):
         s = pltpu.roll(f, padded_w - 1, 1)  # roll by -1 (shifts must be >= 0)
@@ -93,14 +99,10 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     def body(_, carry):
         u, v, p11, p12, p21, p22 = carry
         rho = rho_c + i1wx * u + i1wy * v
-        d1 = jnp.where(
-            rho < -th, l_t * i1wx,
-            jnp.where(rho > th, -l_t * i1wx,
-                      jnp.where(grad > 1e-10, -rho * i1wx / grad_safe, 0.0)))
-        d2 = jnp.where(
-            rho < -th, l_t * i1wy,
-            jnp.where(rho > th, -l_t * i1wy,
-                      jnp.where(grad > 1e-10, -rho * i1wy / grad_safe, 0.0)))
+        neg = rho < -th
+        pos = rho > th
+        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rho * gx))
+        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rho * gy))
         u = (u + d1) + theta * div(p11, p12)
         v = (v + d2) + theta * div(p21, p22)
         ux = fdx(u)
