@@ -110,6 +110,13 @@ def main(argv=None) -> int:
             include_waveforms=args.include_waveforms,
             waveform_folder=args.waveform_folder)
         all_errors.extend(errors)
+    from ..utils import get_stage_report
+
+    report = get_stage_report()
+    if report:
+        logging.getLogger(__name__).info(
+            "stage timings: %s",
+            {k: round(v["total_s"], 2) for k, v in report.items()})
     if all_errors:
         logging.getLogger(__name__).warning("%d files failed", len(all_errors))
     return 1 if all_errors else 0

