@@ -253,6 +253,8 @@ def process_folder(dcm_dir: str, save_dir: str,
     calculate_optical_flow.py:243-290). Returns the list of failed paths."""
     from ..utils import safe_makedir
 
+    if not os.path.isdir(dcm_dir):
+        raise ConfigurationError(f"dcm_folder does not exist: {dcm_dir}")
     safe_makedir(save_dir)
     files = sorted(f for f in os.listdir(dcm_dir) if f.lower().endswith(".dcm"))
     chunks = np.array_split(np.asarray(files, dtype=object), nchunks)
