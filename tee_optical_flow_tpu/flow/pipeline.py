@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Callable, Dict, List, Optional
+import queue
+import threading
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +124,48 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
     return flow[:n_pairs]
 
 
+class AsyncHDF5Writer:
+    """One-deep write-behind for the pipeline's HDF5 stage.
+
+    The gzip-9 write is the steady-state bottleneck of a clip (~8 s of a
+    ~15 s clip, NOTES round 1) and runs entirely on the host, serially
+    after device compute. h5py releases the GIL around HDF5 library
+    calls, so a single writer thread lets clip N gzip while clip N+1's
+    masks/flow run on the chip. Depth 1 bounds host memory to one
+    pending clip. Failures are captured with the originating source path
+    so `process_folder`'s per-file error-isolation semantics survive
+    (reference calculate_optical_flow.py:276-284).
+    """
+
+    def __init__(self) -> None:
+        self._queue: "queue.Queue" = queue.Queue(maxsize=1)
+        self._errors: List[Tuple[str, Exception]] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            src_path, write_fn = item
+            try:
+                write_fn()
+            except Exception as exc:  # per-file isolation
+                logger.error("Error writing output for %s: %s", src_path, exc)
+                self._errors.append((src_path, exc))
+
+    def submit(self, src_path: str, write_fn: Callable[[], None]) -> None:
+        """Enqueue (blocks while a previous write is still in flight)."""
+        self._queue.put((src_path, write_fn))
+
+    def close(self) -> List[Tuple[str, Exception]]:
+        """Drain, stop the thread, and return (src_path, error) pairs."""
+        self._queue.put(None)
+        self._thread.join()
+        return self._errors
+
+
 def process_video(dcm_path: str, save_path: str,
                   segmentor_model: Optional[Callable] = None,
                   verbose: bool = True, mode: str = "A4C",
@@ -132,12 +176,16 @@ def process_video(dcm_path: str, save_path: str,
                   waveform_folder: Optional[str] = None,
                   config: Optional[OpticalFlowCalculationConfig] = None,
                   _clip_override: Optional[np.ndarray] = None,
-                  _metadata_override: Optional[Dict] = None) -> None:
+                  _metadata_override: Optional[Dict] = None,
+                  _writer: Optional[AsyncHDF5Writer] = None) -> None:
     """Full DICOM -> HDF5 production for one clip.
 
     ``_clip_override``/``_metadata_override`` allow driving the pipeline
     from an in-memory (N, H, W, 3) uint8 clip (tests, non-DICOM sources);
-    all other behavior matches the reference entry point.
+    all other behavior matches the reference entry point. With
+    ``_writer`` the HDF5 write is handed to the write-behind thread
+    (process_folder's overlap path) instead of running inline; write
+    errors then surface at ``_writer.close()``, keyed by ``dcm_path``.
     """
     if config is None:
         config = default_optical_flow_config()
@@ -228,13 +276,18 @@ def process_video(dcm_path: str, save_path: str,
         patient_id = str(ds.get((0x0010, 0x0020), "") or "")
         hr = ds.get((0x0018, 0x1088))
         heart_rate = hr if hr is not None else 0
-    with trace_stage("hdf5_write"):
-        echo_gray = np.asarray(gray)
+    echo_gray = np.asarray(gray)
+    # snapshot everything the write closure touches: nothing below is
+    # mutated after this point, so the write-behind thread sees a
+    # consistent clip even while the caller starts the next one
+    include_wf = include_waveforms
+
+    def _write() -> None:
         save_optical_flow_hdf5(
             save_path, flow_arr, echo_gray, mask_dict,
             {**metadata, "nframes": nframes},
             waveform_results, mode=mode, no_saliency=no_saliency,
-            include_waveforms=include_waveforms, patient_id=patient_id,
+            include_waveforms=include_wf, patient_id=patient_id,
             heart_rate=heart_rate,
             sampling_rates={"ecg": config.ecg_sampling_rate,
                             "art": config.art_sampling_rate,
@@ -242,15 +295,27 @@ def process_video(dcm_path: str, save_path: str,
                             "pap": config.pap_sampling_rate},
             save_mask_subset=save_mask_subset, verbose=verbose)
 
+    if _writer is not None:
+        _writer.submit(dcm_path, _write)
+    else:
+        with trace_stage("hdf5_write"):
+            _write()
+
 
 def process_folder(dcm_dir: str, save_dir: str,
                    segmentor_model: Optional[Callable] = None,
                    nchunks: int = 1, chunk_index: int = 0,
                    recalculate: bool = False, verbose: bool = False,
+                   overlap_writes: bool = True,
                    **process_kwargs) -> List[str]:
     """Shard a folder of DICOMs and process one chunk, accumulating errors
     instead of dying (reference process_folder,
-    calculate_optical_flow.py:243-290). Returns the list of failed paths."""
+    calculate_optical_flow.py:243-290). Returns the list of failed paths.
+
+    ``overlap_writes`` (default) hands each clip's gzip-9 HDF5 write to a
+    one-deep writer thread so clip N+1's device compute overlaps clip N's
+    host write; failed writes still land in the error list under their
+    source path."""
     from ..utils import safe_makedir
 
     if not os.path.isdir(dcm_dir):
@@ -260,18 +325,24 @@ def process_folder(dcm_dir: str, save_dir: str,
     chunks = np.array_split(np.asarray(files, dtype=object), nchunks)
     my_files = list(chunks[chunk_index]) if chunk_index < len(chunks) else []
 
+    writer = AsyncHDF5Writer() if overlap_writes else None
     errors: List[str] = []
-    for fname in my_files:
-        dcm_path = os.path.join(dcm_dir, fname)
-        save_path = os.path.join(save_dir, fname[:-4] + ".hdf5")
-        if os.path.exists(save_path) and not recalculate:
-            if verbose:
-                logger.info("%s exists, skipping", save_path)
-            continue
-        try:
-            process_video(dcm_path, save_path, segmentor_model,
-                          verbose=verbose, **process_kwargs)
-        except Exception as exc:  # per-file isolation (reference :276-284)
-            logger.error("Error processing %s: %s", dcm_path, exc)
-            errors.append(dcm_path)
+    try:
+        for fname in my_files:
+            dcm_path = os.path.join(dcm_dir, fname)
+            save_path = os.path.join(save_dir, fname[:-4] + ".hdf5")
+            if os.path.exists(save_path) and not recalculate:
+                if verbose:
+                    logger.info("%s exists, skipping", save_path)
+                continue
+            try:
+                process_video(dcm_path, save_path, segmentor_model,
+                              verbose=verbose, _writer=writer,
+                              **process_kwargs)
+            except Exception as exc:  # per-file isolation (reference :276-284)
+                logger.error("Error processing %s: %s", dcm_path, exc)
+                errors.append(dcm_path)
+    finally:
+        if writer is not None:
+            errors.extend(src for src, _ in writer.close())
     return errors

@@ -44,6 +44,48 @@ _WARP_TILE_H = 32
 _GRAD_EPS = 1e-10
 
 
+def tvl1_inner_block_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                         *, n_iters, l_t, theta, taut):
+    """``n_iters`` primal-dual iterations on (B, H, W) state — the XLA
+    twin of ops/tvl1_pallas.tvl1_inner_block_pallas (same math, streamed
+    through HBM instead of VMEM-resident)."""
+
+    def inner_body(_, carry):
+        u, v, p11, p12, p21, p22 = carry
+        rho = rho_c + i1wx * u + i1wy * v
+        th = l_t * grad
+        # soft-thresholded data step (the v-subproblem)
+        d1 = jnp.where(
+            rho < -th, l_t * i1wx,
+            jnp.where(rho > th, -l_t * i1wx,
+                      jnp.where(grad > _GRAD_EPS,
+                                -rho * i1wx / jnp.maximum(grad, _GRAD_EPS),
+                                0.0)))
+        d2 = jnp.where(
+            rho < -th, l_t * i1wy,
+            jnp.where(rho > th, -l_t * i1wy,
+                      jnp.where(grad > _GRAD_EPS,
+                                -rho * i1wy / jnp.maximum(grad, _GRAD_EPS),
+                                0.0)))
+        v1 = u + d1
+        v2 = v + d2
+        # u-subproblem: proximal TV step via the dual field
+        u = v1 + theta * divergence(p11, p12)
+        v = v2 + theta * divergence(p21, p22)
+        ux, uy = forward_diff(u)
+        vx, vy = forward_diff(v)
+        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+        p11 = (p11 + taut * ux) / ng1
+        p12 = (p12 + taut * uy) / ng1
+        p21 = (p21 + taut * vx) / ng2
+        p22 = (p22 + taut * vy) / ng2
+        return u, v, p11, p12, p21, p22
+
+    return lax.fori_loop(0, n_iters, inner_body,
+                         (u, v, p11, p12, p21, p22))
+
+
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                 inner_iters, use_median, max_disp, use_pallas=False):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
@@ -82,40 +124,9 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                     rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
                     n_iters=inner_iters, l_t=l_t, theta=theta, taut=taut)
 
-            def inner_body(_, carry):
-                u, v, p11, p12, p21, p22 = carry
-                rho = rho_c + i1wx * u + i1wy * v
-                th = l_t * grad
-                # soft-thresholded data step (the v-subproblem)
-                d1 = jnp.where(
-                    rho < -th, l_t * i1wx,
-                    jnp.where(rho > th, -l_t * i1wx,
-                              jnp.where(grad > _GRAD_EPS,
-                                        -rho * i1wx / jnp.maximum(grad, _GRAD_EPS),
-                                        0.0)))
-                d2 = jnp.where(
-                    rho < -th, l_t * i1wy,
-                    jnp.where(rho > th, -l_t * i1wy,
-                              jnp.where(grad > _GRAD_EPS,
-                                        -rho * i1wy / jnp.maximum(grad, _GRAD_EPS),
-                                        0.0)))
-                v1 = u + d1
-                v2 = v + d2
-                # u-subproblem: proximal TV step via the dual field
-                u = v1 + theta * divergence(p11, p12)
-                v = v2 + theta * divergence(p21, p22)
-                ux, uy = forward_diff(u)
-                vx, vy = forward_diff(v)
-                ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
-                ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-                p11 = (p11 + taut * ux) / ng1
-                p12 = (p12 + taut * uy) / ng1
-                p21 = (p21 + taut * vx) / ng2
-                p22 = (p22 + taut * vy) / ng2
-                return u, v, p11, p12, p21, p22
-
-            return lax.fori_loop(0, inner_iters, inner_body,
-                                 (u, v, p11, p12, p21, p22))
+            return tvl1_inner_block_xla(
+                rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                n_iters=inner_iters, l_t=l_t, theta=theta, taut=taut)
 
         return lax.fori_loop(0, outer_iters, outer_body,
                              (u, v, p11, p12, p21, p22))

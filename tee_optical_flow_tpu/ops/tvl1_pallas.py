@@ -148,12 +148,17 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "l_t", "theta", "taut", "tile_h"))
+    static_argnames=("n_iters", "l_t", "theta", "taut", "tile_h",
+                     "interpret"))
 def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
                             p11, p12, p21, p22, *,
                             n_iters: int, l_t: float, theta: float,
-                            taut: float, tile_h: int = 128):
-    """Run ``n_iters`` primal-dual iterations on (B, H, W) state."""
+                            taut: float, tile_h: int = 128,
+                            interpret: bool = False):
+    """Run ``n_iters`` primal-dual iterations on (B, H, W) state.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter so
+    the halo/mask/boundary logic is testable on the CPU CI mesh."""
     b, h, w = u.shape
     # halo must cover n_iters of 1-px stencil reach; round to the (8, 128)
     # sublane tiling so DMA slices stay aligned
@@ -202,6 +207,7 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
         out_shape=[jax.ShapeDtypeStruct((b, padded_h, padded_w),
                                         jnp.float32)] * 6,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(offsets, *inputs)
 
     # outputs use global row coords; drop the bucket/lane padding

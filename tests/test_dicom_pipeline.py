@@ -240,3 +240,22 @@ def test_process_folder_sharding_and_errors(tmp_path, rng):
                             config=cfg)
     assert len(errors) == 1 and errors[0].endswith("b.dcm")
     assert os.path.exists(tmp_path / "out" / "a.hdf5")
+
+
+def test_process_folder_write_failure_is_isolated(tmp_path, rng):
+    """A failed HDF5 write on the write-behind thread must land in the
+    error list under its source path (per-file isolation through
+    AsyncHDF5Writer), not crash or vanish."""
+    frames = _synthetic_clip(rng, n=3)
+    write_test_dicom(str(tmp_path / "a.dcm"), frames)
+    out = tmp_path / "out"
+    (out / "a.hdf5").mkdir(parents=True)  # write target is a directory
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    cfg = OpticalFlowCalculationConfig(
+        min_mask_size=50, tvl1_nscales=2, tvl1_zoom_factor=0.5, tvl1_warps=2,
+        tvl1_outer_iterations=1, tvl1_inner_iterations=10,
+        tvl1_median_filtering=False)
+    errors = process_folder(str(tmp_path), str(out), None,
+                            recalculate=True, mode="otsu", no_saliency=True,
+                            include_waveforms=False, config=cfg)
+    assert len(errors) == 1 and errors[0].endswith("a.dcm")

@@ -127,6 +127,76 @@ def test_bilinear_warp_shift_matches_gather(rng):
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_oracle_recovers_known_shift(rng):
+    """The NumPy IPOL oracle itself recovers a known synthetic shift —
+    the precondition for using it as the EPE golden reference."""
+    from tee_optical_flow_tpu.ops.tvl1_oracle import tvl1_flow_oracle
+
+    img = _texture(rng, 72, 88, smooth=2.0)
+    i1 = ndimage.shift(img, (1.0, -2.0), order=3, mode="nearest")
+    flow = tvl1_flow_oracle(img, i1, nscales=3)
+    interior = flow[8:-8, 8:-8]
+    epe = np.hypot(interior[..., 0] + 2.0, interior[..., 1] - 1.0)
+    assert np.median(epe) < 0.1, f"median EPE {np.median(epe):.3f}"
+
+
+@pytest.mark.slow
+def test_jax_solver_matches_ipol_oracle(rng):
+    """Golden EPE test (BASELINE.md north star, CI-sized): the jitted
+    solver vs the plain-NumPy IPOL/OpenCV oracle at identical settings.
+    Border rows/cols diverge by construction (bilinear shift-warp vs
+    bicubic warp clamping); the pipeline's masked analysis never uses
+    them, so the contract is over the interior. Full-resolution numbers
+    live in EPE_r02.json (epe_report.py)."""
+    from tee_optical_flow_tpu.ops.tvl1_oracle import epe, tvl1_flow_oracle
+
+    img = _texture(rng, 96, 120, smooth=3.0)
+    yy, xx = np.mgrid[0:96, 0:120].astype(np.float64)
+    # smooth non-rigid motion, ~1.5 px amplitude
+    u = 1.5 * np.sin(2 * np.pi * yy / 96)
+    v = -1.0 * np.cos(2 * np.pi * xx / 120)
+    i1 = ndimage.map_coordinates(img, [yy + v, xx + u], order=3,
+                                 mode="nearest").astype(np.float32)
+    settings = dict(nscales=3, zoom=0.8, warps=5, outer_iters=10,
+                    inner_iters=30)
+    golden = tvl1_flow_oracle(img, i1, epsilon=0.0, median_kernel=5,
+                              **settings)
+    ours = np.asarray(tvl1_flow_pairs(img[None], i1[None],
+                                      use_median=True, **settings))[0]
+    err = epe(ours, golden)[8:-8, 8:-8]
+    assert np.median(err) < 0.05, f"median EPE {np.median(err):.4f}"
+    assert np.percentile(err, 95) < 0.1, f"p95 EPE {np.percentile(err, 95):.4f}"
+
+
+def test_pallas_inner_block_matches_xla_interpret(rng):
+    """Interpret-mode parity of the Pallas fused inner loop vs its XLA
+    twin on a multi-tile shape, covering the halo recompute and the
+    fdx/fdy/div boundary masks (tvl1_pallas.py) plus the zero-gradient
+    data-step branch."""
+    from tee_optical_flow_tpu.ops.tvl1 import tvl1_inner_block_xla
+    from tee_optical_flow_tpu.ops.tvl1_pallas import tvl1_inner_block_pallas
+
+    b, h, w = 2, 40, 48
+
+    def f(scale):
+        return (rng.normal(size=(b, h, w)) * scale).astype(np.float32)
+
+    rho_c, i1wx, i1wy = f(5.0), f(3.0), f(3.0)
+    grad = i1wx * i1wx + i1wy * i1wy
+    grad[:, 5:8, 5:8] = 0.0  # exercise the grad <= eps branch
+    u, v = f(0.5), f(0.5)
+    ps = [f(0.1) for _ in range(4)]
+    kw = dict(n_iters=13, l_t=0.15 * 0.3, theta=0.3, taut=0.25 / 0.3)
+
+    ref = tvl1_inner_block_xla(rho_c, i1wx, i1wy, grad, u, v, *ps, **kw)
+    # tile_h=16 over h=40 forces 3 tiles -> real halos and row masks
+    got = tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v, *ps,
+                                  tile_h=16, interpret=True, **kw)
+    for name, a, c in zip(("u", "v", "p11", "p12", "p21", "p22"), ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5,
+                                   err_msg=name)
+
+
 def test_median_network_matches_numpy(rng):
     from tee_optical_flow_tpu.ops.warp import median_of_taps, median_filter_5x5
 
