@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "train_finetune_box variant)")
     parser.add_argument("--data_axis", type=int, default=None)
     parser.add_argument("--model_axis", type=int, default=1)
+    parser.add_argument("--layer_lr_decay", type=float, default=1.0,
+                        help="TinyViT per-block lr decay rate (reference "
+                             "tiny_vit_sam.py:655-687 uses 0.8); 1.0 = off")
     parser.add_argument("--grad_accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
         warmup_period=args.warmup_period, lora_rank=args.lora_rank,
         if_update_encoder=not args.freeze_encoder,
         dir_checkpoint=args.dir_checkpoint, targets=args.targets,
+        layer_lr_decay=args.layer_lr_decay,
         mesh_data_axis=args.data_axis, grad_accum=args.grad_accum,
         remat=args.remat, seed=args.seed)
     safe_makedir(cfg.dir_checkpoint)

@@ -276,6 +276,9 @@ class TrainConfig(_JsonMixin):
     dir_checkpoint: str = "checkpoints"
     targets: str = "multi_all"
     seed: int = 0
+    # TinyViT layer-wise lr decay (reference tiny_vit_sam.py:655-687,
+    # rate 0.8 from build_sam.py:77); 1.0 disables
+    layer_lr_decay: float = 1.0
     # TPU additions
     mesh_data_axis: Optional[int] = None
     grad_accum: int = 1

@@ -102,6 +102,10 @@ def build_runtime(cfg: TrainConfig, steps_per_epoch: int,
                 if cfg.warmup else lambda step: cfg.lr)
     tx = optax.adamw(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=cfg.weight_decay)
+    if cfg.layer_lr_decay != 1.0:
+        from .schedule import layer_lr_decay_transform
+
+        tx = optax.chain(tx, layer_lr_decay_transform(cfg.layer_lr_decay))
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum)
     return TrainConfigRuntime(cfg=cfg, mesh=mesh, schedule=schedule, tx=tx)

@@ -55,6 +55,47 @@ def test_warmup_poly_schedule():
     assert float(sched(60)) == pytest.approx(1e-3 * (1 - 50 / 100) ** 0.9, rel=1e-5)
 
 
+def test_tinyvit_layer_lr_decay_scales():
+    """Reference tiny_vit_sam.py:655-687: block k scales by 0.8^(depth-1-k);
+    patch embed tracks block 0, merges track the last block of their stage,
+    neck/decoder train at full rate."""
+    from tee_optical_flow_tpu.train.schedule import (
+        layer_lr_decay_transform, tinyvit_lr_scale_for_path)
+
+    d = 0.8
+    depth = 12  # sum((2, 2, 6, 2))
+    path = lambda *names: tuple(jax.tree_util.DictKey(n) for n in names)
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "patch_embed_conv1", "conv", "kernel"), d
+    ) == pytest.approx(d ** (depth - 1))
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "stage0_block1", "k"), d) == pytest.approx(d ** 10)
+    # global block index of stage2_block3 is 2+2+3 = 7 -> 0.8^4
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "stage2_block3", "k"), d) == pytest.approx(d ** 4)
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "stage3_block1", "k"), d) == pytest.approx(1.0)
+    # merge1 follows stage1's last block (global index 3) -> 0.8^8
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "merge1", "k"), d) == pytest.approx(d ** 8)
+    assert tinyvit_lr_scale_for_path(
+        path("image_encoder", "neck_conv1", "kernel"), d) == pytest.approx(1.0)
+    assert tinyvit_lr_scale_for_path(
+        path("mask_decoder", "k"), d) == pytest.approx(1.0)
+
+    # effective update ratio between two depths through the optax chain
+    import optax
+
+    tx = optax.chain(optax.sgd(1.0), layer_lr_decay_transform(d))
+    params = {"image_encoder": {"stage0_block0": {"w": jnp.ones(3)},
+                                "stage3_block1": {"w": jnp.ones(3)}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    shallow = updates["image_encoder"]["stage3_block1"]["w"][0]
+    deep = updates["image_encoder"]["stage0_block0"]["w"][0]
+    assert float(deep / shallow) == pytest.approx(d ** (depth - 1), rel=1e-6)
+
+
 def test_partition_params_policies(tiny_sam):
     model, variables = tiny_sam
     params = variables["params"]
