@@ -226,6 +226,11 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     deepflow_gamma: float = 5.0
     deepflow_iterations: int = 25
     deepflow_nscales: int = 5
+    # DeepFlow matching term: patch-NCC cost-volume matches at the two
+    # coarsest levels as a soft constraint (reference's DeepMatching stage)
+    deepflow_matching: bool = True
+    deepflow_match_radius: int = 4
+    deepflow_beta: float = 0.3
 
 
 # ---------------------------------------------------------------------------

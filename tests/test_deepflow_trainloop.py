@@ -34,6 +34,53 @@ def test_deepflow_zero_motion(rng):
     assert np.abs(flow).max() < 0.05
 
 
+def test_deepflow_matching_recovers_large_displacement(rng):
+    """A 12 px shift of high-frequency speckle at 96^2 exceeds the
+    coarse-to-fine warping linearization range (texture aliases away at
+    the coarse levels): refinement-only converges to zero flow, the
+    matching term (reference DeepFlow's DeepMatching stage,
+    calculate_optical_flow.py:565-568) recovers it."""
+    base = rng.uniform(size=(160, 160)).astype(np.float32)
+    shift = 12
+    i0 = base[16:112, 16:112]
+    i1 = base[16:112, 16 - shift:112 - shift]
+    inner = np.s_[20:76, 20:76]
+
+    def epe(matching):
+        flow = np.asarray(deepflow_pairs(
+            i0[None], i1[None], nscales=3, iters=30, matching=matching,
+            match_radius=7, beta=0.3))[0]
+        return float(np.hypot(flow[..., 0][inner] - shift,
+                              flow[..., 1][inner]).mean())
+
+    assert epe(False) > 5.0, "refinement-only unexpectedly solves this"
+    assert epe(True) < 1.0
+
+
+def test_coarse_match_zero_motion_and_shift(rng):
+    """Matches on identical images are exactly zero where confident; an
+    integer shift is recovered exactly in the interior."""
+    from tee_optical_flow_tpu.ops.deepflow import coarse_match
+
+    img = _texture(rng, 48, 48, smooth=1.0)
+    um, vm, conf = map(np.asarray, coarse_match(img[None], img[None],
+                                                radius=4))
+    sel = conf > 0
+    assert sel.mean() > 0.3
+    assert np.abs(um[sel]).max() == 0.0
+    assert np.abs(vm[sel]).max() == 0.0
+
+    shifted = np.roll(img, 3, axis=1)
+    um, vm, conf = map(np.asarray, coarse_match(img[None], shifted[None],
+                                                radius=4))
+    sel = conf > 0
+    sel[:, :, :8] = False   # roll wraps content at both edges
+    sel[:, :, -8:] = False
+    assert sel.mean() > 0.2
+    np.testing.assert_allclose(um[sel], 3.0)
+    np.testing.assert_allclose(vm[sel], 0.0)
+
+
 def test_deepflow_clip_shape(rng):
     clip = np.stack([_texture(rng, 32, 32) for _ in range(3)])
     flow = np.asarray(deepflow_clip_flow(clip, nscales=2, iters=5))
