@@ -50,23 +50,24 @@ def tvl1_inner_block_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
     twin of ops/tvl1_pallas.tvl1_inner_block_pallas (same math, streamed
     through HBM instead of VMEM-resident)."""
 
+    # loop-invariant: thresholds and the reciprocal gradient, hoisted in
+    # exactly the kernel twin's form so the two paths stay bitwise-equal
+    # (and the per-iteration divisions leave the loop)
+    th = l_t * grad
+    inv_grad = jnp.where(grad > _GRAD_EPS,
+                         1.0 / jnp.maximum(grad, _GRAD_EPS), 0.0)
+    ltx = l_t * i1wx
+    lty = l_t * i1wy
+
     def inner_body(_, carry):
         u, v, p11, p12, p21, p22 = carry
         rho = rho_c + i1wx * u + i1wy * v
-        th = l_t * grad
+        neg = rho < -th
+        pos = rho > th
+        rg = rho * inv_grad
         # soft-thresholded data step (the v-subproblem)
-        d1 = jnp.where(
-            rho < -th, l_t * i1wx,
-            jnp.where(rho > th, -l_t * i1wx,
-                      jnp.where(grad > _GRAD_EPS,
-                                -rho * i1wx / jnp.maximum(grad, _GRAD_EPS),
-                                0.0)))
-        d2 = jnp.where(
-            rho < -th, l_t * i1wy,
-            jnp.where(rho > th, -l_t * i1wy,
-                      jnp.where(grad > _GRAD_EPS,
-                                -rho * i1wy / jnp.maximum(grad, _GRAD_EPS),
-                                0.0)))
+        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
+        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
         v1 = u + d1
         v2 = v + d2
         # u-subproblem: proximal TV step via the dual field
@@ -87,7 +88,8 @@ def tvl1_inner_block_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
 
 
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
-                inner_iters, use_median, max_disp, use_pallas=False):
+                inner_iters, use_median, max_disp, use_pallas=False,
+                pallas_tile_h=256):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
     i1x, i1y = centered_gradient(i1)
     l_t = lam * theta
@@ -97,6 +99,13 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     p12 = jnp.zeros_like(u)
     p21 = jnp.zeros_like(u)
     p22 = jnp.zeros_like(u)
+
+    if use_pallas:
+        from .tvl1_pallas import fits_vmem_fused
+
+        fused = fits_vmem_fused(i0.shape[1], i0.shape[2])
+    else:
+        fused = False
 
     def warp_body(_, carry):
         u, v, p11, p12, p21, p22 = carry
@@ -110,6 +119,17 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u - i1wy * v - i0
 
+        if fused:
+            # whole per-warp outer loop (median + inner blocks) in one
+            # VMEM-resident kernel: constants DMA once per warp, not once
+            # per outer iteration (ops/tvl1_pallas.py)
+            from .tvl1_pallas import tvl1_outer_loop_pallas
+
+            return tvl1_outer_loop_pallas(
+                rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                outer_iters=outer_iters, inner_iters=inner_iters,
+                use_median=use_median, l_t=l_t, theta=theta, taut=taut)
+
         def outer_body(_, carry):
             u, v, p11, p12, p21, p22 = carry
             if use_median:
@@ -122,7 +142,8 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
 
                 return tvl1_inner_block_pallas(
                     rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
-                    n_iters=inner_iters, l_t=l_t, theta=theta, taut=taut)
+                    n_iters=inner_iters, l_t=l_t, theta=theta, taut=taut,
+                    tile_h=pallas_tile_h)
 
             return tvl1_inner_block_xla(
                 rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
@@ -139,13 +160,14 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
                      "outer_iters", "inner_iters", "use_median", "max_disp",
-                     "use_pallas"))
+                     "use_pallas", "pallas_tile_h"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
                     outer_iters: int = 10, inner_iters: int = 30,
                     use_median: bool = True, max_disp: int = 16,
-                    use_pallas: bool = False) -> jnp.ndarray:
+                    use_pallas: bool = False,
+                    pallas_tile_h: int = 256) -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
@@ -172,7 +194,7 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                            lam=lam, tau=tau, theta=theta, warps=warps,
                            outer_iters=outer_iters, inner_iters=inner_iters,
                            use_median=use_median, max_disp=lvl_disp,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, pallas_tile_h=pallas_tile_h)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]

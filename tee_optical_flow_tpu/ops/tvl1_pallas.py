@@ -4,9 +4,16 @@ The XLA version of the inner loop streams ~16 (B, H, W) arrays through HBM
 every iteration; at 10x30 iterations x 5 warps x 5 scales that is the
 solver's dominant cost. This kernel runs a whole block of inner iterations
 with all state in VMEM: per grid step it DMAs a row slab of the six state
-fields (u, v, p11, p12, p21, p22) plus the four per-warp constants
-(rho_c, i1wx, i1wy, grad) into scratch, iterates ``n_iters`` times on
-chip, and writes back the slab center.
+fields (u, v, p11, p12, p21, p22) plus five per-warp constants
+(rho_c, i1wx, i1wy, th = lambda*theta*grad, inv_grad) into scratch,
+iterates ``n_iters`` times on chip, and writes back the slab center.
+
+The derived constants th/inv_grad are computed once per warp in XLA (they
+fuse into the warp stage) rather than inside the kernel: keeping only the
+five truly-needed read-only slabs — and updating the six state slabs in
+place instead of carrying SSA copies through the loop — roughly halves the
+kernel's VMEM footprint, which is what admits tile_h=256 (1.25x halo
+recompute) over the previous tile_h=128 (1.5x).
 
 Correctness with tiling: the stencils (forward difference / divergence)
 have 1-pixel reach, so after n iterations a cell depends on values at most
@@ -30,9 +37,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_N_CONST = 5   # rho_c, i1wx, i1wy, th, inv_grad
+_N_STATE = 6   # u, v, p11, p12, p21, p22
+
 
 def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row starts
-                        rho_c_hbm, i1wx_hbm, i1wy_hbm, grad_hbm,
+                        rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
                         u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm,
                         u_out, v_out, p11_out, p12_out, p21_out, p22_out,
                         scratch, sem,
@@ -46,8 +56,8 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     row0 = pl.multiple_of(off_ref[t], 8)
     slab_h = tile_h + 2 * halo
 
-    # ---- DMA the 10 slabs in ----
-    srcs = [rho_c_hbm, i1wx_hbm, i1wy_hbm, grad_hbm,
+    # ---- DMA the 11 slabs in ----
+    srcs = [rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
             u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm]
     for i, src in enumerate(srcs):
         pltpu.make_async_copy(
@@ -61,7 +71,8 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     rho_c = scratch[0]
     i1wx = scratch[1]
     i1wy = scratch[2]
-    grad = scratch[3]
+    th = scratch[3]
+    inv_grad = scratch[4]
 
     # global coordinates of slab rows (padded row r == global row
     # r + row0 - halo), for boundary masks
@@ -72,14 +83,8 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
     last_col = cols == (width - 1)
     first_col = cols == 0
 
-    # loop-invariant precomputation: thresholds, scaled gradients, and the
-    # data-step slopes; turns two divisions per iteration into multiplies
-    th = l_t * grad
-    inv_grad = jnp.where(grad > 1e-10, 1.0 / jnp.maximum(grad, 1e-10), 0.0)
     ltx = l_t * i1wx
     lty = l_t * i1wy
-    gx = i1wx * inv_grad
-    gy = i1wy * inv_grad
 
     def fdx(f):
         s = pltpu.roll(f, padded_w - 1, 1)  # roll by -1 (shifts must be >= 0)
@@ -97,14 +102,24 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
         return d1 + d2
 
     def body(_, carry):
-        u, v, p11, p12, p21, p22 = carry
+        # state lives in the scratch slabs and is updated in place; the
+        # loop carries nothing (halves live VMEM vs SSA-carried state)
+        u = scratch[5]
+        v = scratch[6]
+        p11 = scratch[7]
+        p12 = scratch[8]
+        p21 = scratch[9]
+        p22 = scratch[10]
         rho = rho_c + i1wx * u + i1wy * v
         neg = rho < -th
         pos = rho > th
-        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rho * gx))
-        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rho * gy))
+        rg = rho * inv_grad
+        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
+        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
         u = (u + d1) + theta * div(p11, p12)
         v = (v + d2) + theta * div(p21, p22)
+        scratch[5] = u
+        scratch[6] = v
         ux = fdx(u)
         uy = fdy(u)
         vx = fdx(v)
@@ -114,28 +129,23 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
         # iterated applications into visible flow changes at median edges
         ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
         ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-        p11 = (p11 + taut * ux) / ng1
-        p12 = (p12 + taut * uy) / ng1
-        p21 = (p21 + taut * vx) / ng2
-        p22 = (p22 + taut * vy) / ng2
-        return u, v, p11, p12, p21, p22
+        scratch[7] = (p11 + taut * ux) / ng1
+        scratch[8] = (p12 + taut * uy) / ng1
+        scratch[9] = (p21 + taut * vx) / ng2
+        scratch[10] = (p22 + taut * vy) / ng2
+        return carry
 
-    state = (scratch[4], scratch[5], scratch[6], scratch[7],
-             scratch[8], scratch[9])
-    u, v, p11, p12, p21, p22 = lax.fori_loop(0, n_iters, body, state)
+    lax.fori_loop(0, n_iters, body, 0, unroll=False)
 
-    # ---- write back the valid tile center (stage through VMEM scratch,
-    # HBM refs are DMA-only) ----
+    # ---- write back the valid tile center straight from the state slabs
+    # (HBM refs are DMA-only) ----
     # the slab covers global rows [row0 - halo, ...); the tile's first
     # global row (== row0 in global coords since offsets are tile starts)
     # sits at slab row `halo`. Output arrays use global row coords.
-    results = (u, v, p11, p12, p21, p22)
     outs = (u_out, v_out, p11_out, p12_out, p21_out, p22_out)
-    for i, val in enumerate(results):
-        scratch[4 + i] = val
     copies = [
         pltpu.make_async_copy(
-            scratch.at[4 + i, pl.ds(halo, tile_h), :],
+            scratch.at[_N_CONST + i, pl.ds(halo, tile_h), :],
             out.at[b, pl.ds(row0, tile_h), :],
             sem.at[i])
         for i, out in enumerate(outs)
@@ -146,6 +156,223 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
         c.wait()
 
 
+def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
+                        u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm,
+                        u_out, v_out, p11_out, p12_out, p21_out, p22_out,
+                        scratch, sem,
+                        *, outer_iters: int, inner_iters: int,
+                        use_median: bool, l_t: float, theta: float,
+                        taut: float, height: int, width: int,
+                        padded_h: int, padded_w: int):
+    """One whole (median + inner-block) x outer_iters outer loop for one
+    frame pair, image fully VMEM-resident: the per-warp constants are
+    DMA'd once instead of once per outer iteration, and the flow median
+    runs on-chip between inner blocks.
+
+    Semantics: bitwise-equal to `outer_iters` x [median_filter_5x5(u, v)
+    if use_median] + tvl1_inner_block_xla(n_iters=inner_iters) — the
+    median's edge-replication is reproduced with roll+select clamps and
+    the identical pruned compare-exchange network (warp._median_network).
+    """
+    from .warp import _median_network
+
+    b = pl.program_id(0)
+
+    srcs = [rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
+            u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm]
+    for i, src in enumerate(srcs):
+        pltpu.make_async_copy(src.at[b], scratch.at[i], sem.at[i]).start()
+    for i, src in enumerate(srcs):
+        pltpu.make_async_copy(src.at[b], scratch.at[i], sem.at[i]).wait()
+
+    rho_c = scratch[0]
+    i1wx = scratch[1]
+    i1wy = scratch[2]
+    th = scratch[3]
+    inv_grad = scratch[4]
+
+    rows = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 1)
+    last_row = rows == (height - 1)
+    first_row = rows == 0
+    last_col = cols == (width - 1)
+    first_col = cols == 0
+    # clamp masks treating the padded region as out-of-image
+    row_hi = rows >= (height - 1)
+    col_hi = cols >= (width - 1)
+
+    ltx = l_t * i1wx
+    lty = l_t * i1wy
+
+    def fdx(f):
+        s = pltpu.roll(f, padded_w - 1, 1)
+        return jnp.where(last_col, 0.0, s - f)
+
+    def fdy(f):
+        s = pltpu.roll(f, padded_h - 1, 0)
+        return jnp.where(last_row, 0.0, s - f)
+
+    def div(p1, p2):
+        r1 = pltpu.roll(p1, 1, 1)
+        d1 = jnp.where(first_col, p1, jnp.where(last_col, -r1, p1 - r1))
+        r2 = pltpu.roll(p2, 1, 0)
+        d2 = jnp.where(first_row, p2, jnp.where(last_row, -r2, p2 - r2))
+        return d1 + d2
+
+    # edge-replicated single-pixel shifts (median taps); the padded region
+    # is clamped out exactly like the XLA median's edge padding
+    def up1(f):       # f[min(y+1, height-1), x]
+        return jnp.where(row_hi, f, pltpu.roll(f, padded_h - 1, 0))
+
+    def down1(f):     # f[max(y-1, 0), x]
+        return jnp.where(first_row, f, pltpu.roll(f, 1, 0))
+
+    def right1(f):    # f[y, min(x+1, width-1)]
+        return jnp.where(col_hi, f, pltpu.roll(f, padded_w - 1, 1))
+
+    def left1(f):     # f[y, max(x-1, 0)]
+        return jnp.where(first_col, f, pltpu.roll(f, 1, 1))
+
+    network, _width = _median_network(25)
+
+    def med5(f):
+        d1 = down1(f)
+        d2 = down1(d1)
+        u1 = up1(f)
+        u2 = up1(u1)
+        taps = []
+        for rowv in (d2, d1, f, u1, u2):
+            l1 = left1(rowv)
+            l2 = left1(l1)
+            r1 = right1(rowv)
+            r2 = right1(r1)
+            taps.extend((l2, l1, rowv, r1, r2))
+        # pruned Batcher network: wires 25..31 are +inf pads; exchanges
+        # touching only pad wires collapse at trace time
+        wires = list(taps) + [None] * 7
+        inf = jnp.full_like(f, jnp.inf)
+        for (i, j) in network:
+            wi = wires[i] if wires[i] is not None else inf
+            wj = wires[j] if wires[j] is not None else inf
+            wires[i] = jnp.minimum(wi, wj)
+            wires[j] = jnp.maximum(wi, wj)
+        return wires[12]
+
+    def inner_body(_, carry):
+        u = scratch[5]
+        v = scratch[6]
+        p11 = scratch[7]
+        p12 = scratch[8]
+        p21 = scratch[9]
+        p22 = scratch[10]
+        rho = rho_c + i1wx * u + i1wy * v
+        neg = rho < -th
+        pos = rho > th
+        rg = rho * inv_grad
+        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
+        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
+        u = (u + d1) + theta * div(p11, p12)
+        v = (v + d2) + theta * div(p21, p22)
+        scratch[5] = u
+        scratch[6] = v
+        ux = fdx(u)
+        uy = fdy(u)
+        vx = fdx(v)
+        vy = fdy(v)
+        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+        scratch[7] = (p11 + taut * ux) / ng1
+        scratch[8] = (p12 + taut * uy) / ng1
+        scratch[9] = (p21 + taut * vx) / ng2
+        scratch[10] = (p22 + taut * vy) / ng2
+        return carry
+
+    def outer_body(_, carry):
+        if use_median:
+            scratch[5] = med5(scratch[5])
+            scratch[6] = med5(scratch[6])
+        lax.fori_loop(0, inner_iters, inner_body, 0, unroll=False)
+        return carry
+
+    lax.fori_loop(0, outer_iters, outer_body, 0, unroll=False)
+
+    outs = (u_out, v_out, p11_out, p12_out, p21_out, p22_out)
+    copies = [
+        pltpu.make_async_copy(scratch.at[_N_CONST + i], out.at[b], sem.at[i])
+        for i, out in enumerate(outs)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("outer_iters", "inner_iters", "use_median", "l_t",
+                     "theta", "taut", "interpret"))
+def tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v,
+                           p11, p12, p21, p22, *,
+                           outer_iters: int, inner_iters: int,
+                           use_median: bool, l_t: float, theta: float,
+                           taut: float, interpret: bool = False):
+    """Run the full per-warp outer loop (5x5 flow median + inner block,
+    x outer_iters) in one whole-image-resident kernel. Returns the same
+    6-tuple as the per-block path. Use when the image fits VMEM
+    (fits_vmem_fused); bitwise-equal to the composed XLA/per-block path.
+    """
+    b, h, w = u.shape
+    grad = grad.astype(jnp.float32)
+    th = l_t * grad
+    inv_grad = jnp.where(grad > 1e-10, 1.0 / jnp.maximum(grad, 1e-10), 0.0)
+    padded_h = -(-h // 8) * 8
+    padded_w = -(-w // 128) * 128
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, padded_h - h), (0, padded_w - w)))
+
+    inputs = [pad(x.astype(jnp.float32)) for x in
+              (rho_c, i1wx, i1wy, th, inv_grad, u, v, p11, p12, p21, p22)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (_N_CONST + _N_STATE),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * _N_STATE,
+        scratch_shapes=[
+            pltpu.VMEM((_N_CONST + _N_STATE, padded_h, padded_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_CONST + _N_STATE,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fused_scale_kernel, outer_iters=outer_iters,
+        inner_iters=inner_iters, use_median=use_median, l_t=l_t,
+        theta=theta, taut=taut, height=h, width=w, padded_h=padded_h,
+        padded_w=padded_w)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, padded_h, padded_w),
+                                        jnp.float32)] * _N_STATE,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    return tuple(o[:, :h, :w] for o in outs)
+
+
+def fits_vmem_fused(h: int, w: int, budget_bytes: int = 40 * 1024 * 1024) -> bool:
+    """Whether the fused whole-image kernel fits comfortably in VMEM
+    (11 resident slabs + median/iteration temporaries ~2x headroom)."""
+    padded_h = -(-h // 8) * 8
+    padded_w = -(-w // 128) * 128
+    return (_N_CONST + _N_STATE) * padded_h * padded_w * 4 * 2 <= budget_bytes
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "l_t", "theta", "taut", "tile_h",
@@ -153,13 +380,18 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
 def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
                             p11, p12, p21, p22, *,
                             n_iters: int, l_t: float, theta: float,
-                            taut: float, tile_h: int = 128,
+                            taut: float, tile_h: int = 256,
                             interpret: bool = False):
     """Run ``n_iters`` primal-dual iterations on (B, H, W) state.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter so
     the halo/mask/boundary logic is testable on the CPU CI mesh."""
     b, h, w = u.shape
+    # derived per-warp constants, computed in XLA where they fuse into the
+    # preceding warp stage (same math as the XLA twin in ops/tvl1.py)
+    grad = grad.astype(jnp.float32)
+    th = l_t * grad
+    inv_grad = jnp.where(grad > 1e-10, 1.0 / jnp.maximum(grad, 1e-10), 0.0)
     # halo must cover n_iters of 1-px stencil reach; round to the (8, 128)
     # sublane tiling so DMA slices stay aligned
     halo = -(-n_iters // 8) * 8
@@ -179,7 +411,7 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
                            (0, padded_w - w)))
 
     inputs = [pad(x.astype(jnp.float32)) for x in
-              (rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22)]
+              (rho_c, i1wx, i1wy, th, inv_grad, u, v, p11, p12, p21, p22)]
 
     # per-tile slab start rows in padded coords: tile_start (+halo pad
     # offset cancels): slab covers [tile_start, tile_start + slab_h)
@@ -188,11 +420,11 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 10,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (_N_CONST + _N_STATE),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * _N_STATE,
         scratch_shapes=[
-            pltpu.VMEM((10, slab_h, padded_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.VMEM((_N_CONST + _N_STATE, slab_h, padded_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_CONST + _N_STATE,)),
         ],
     )
 
@@ -205,8 +437,13 @@ def tvl1_inner_block_pallas(rho_c, i1wx, i1wy, grad, u, v,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((b, padded_h, padded_w),
-                                        jnp.float32)] * 6,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                                        jnp.float32)] * _N_STATE,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # v5e has 128 MiB of physical VMEM; the default scoped limit is
+            # a conservative 16 MiB. The slab footprint is static and known
+            # (11 slabs + iteration temporaries), so let it through.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(offsets, *inputs)
 

@@ -210,6 +210,7 @@ def test_prompt_and_decoder_parity():
     np.testing.assert_allclose(np.asarray(iou_f), iou_t.detach().numpy(), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_full_sam_conversion_structural():
     """Every torch Sam vit_t tensor maps onto our tree without shape errors."""
     import jax

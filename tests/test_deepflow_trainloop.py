@@ -34,6 +34,7 @@ def test_deepflow_zero_motion(rng):
     assert np.abs(flow).max() < 0.05
 
 
+@pytest.mark.slow
 def test_deepflow_matching_recovers_large_displacement(rng):
     """A 12 px shift of high-frequency speckle at 96^2 exceeds the
     coarse-to-fine warping linearization range (texture aliases away at
@@ -87,6 +88,7 @@ def test_deepflow_clip_shape(rng):
     assert flow.shape == (2, 32, 32, 2)
 
 
+@pytest.mark.slow
 def test_train_model_full_loop(tmp_path, rng):
     """The whole fine-tuning loop on a synthetic learnable task: epochs,
     eval cadence, tensorboard scalars, best-DSC checkpoint, early stop."""

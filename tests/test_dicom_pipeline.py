@@ -224,6 +224,7 @@ def test_pipeline_otsu_validation(tmp_path, rng):
                       bkgd_comp="WASE")
 
 
+@pytest.mark.slow
 def test_process_folder_sharding_and_errors(tmp_path, rng):
     frames = _synthetic_clip(rng, n=3)
     write_test_dicom(str(tmp_path / "a.dcm"), frames)

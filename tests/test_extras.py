@@ -58,6 +58,7 @@ def test_amg_utils(rng):
 
 @pytest.mark.parametrize("name", ["unet", "resnet", "seresnet", "vgg",
                                   "squeezenet", "efficientnet"])
+@pytest.mark.slow
 def test_baseline_nets(name):
     from tee_optical_flow_tpu.models.baselines import get_network
 
@@ -71,6 +72,7 @@ def test_baseline_nets(name):
         assert out.shape == (1, 3)
 
 
+@pytest.mark.slow
 def test_vae_and_discriminator():
     from tee_optical_flow_tpu.models.baselines import get_network
 
@@ -86,6 +88,7 @@ def test_vae_and_discriminator():
     assert out.shape[0] == 1 and out.shape[-1] == 1
 
 
+@pytest.mark.slow
 def test_predictor_and_amg_end_to_end():
     from tee_optical_flow_tpu.models.amg import SamAutomaticMaskGenerator
     from tee_optical_flow_tpu.models.predictor import SamPredictor
@@ -111,6 +114,7 @@ def test_predictor_and_amg_end_to_end():
         assert "bbox" in r and "predicted_iou" in r
 
 
+@pytest.mark.slow
 def test_export_roundtrip():
     from tee_optical_flow_tpu.models.export import load_exported, save_exported
     from tee_optical_flow_tpu.models.registry import build_sam_vit_t
@@ -142,6 +146,7 @@ def test_legacy_shim(tmp_path):
         assert callable(getattr(legacy, name))
 
 
+@pytest.mark.slow
 def test_new_baselines_and_decoder():
     from tee_optical_flow_tpu.models.baselines import (
         GoinNet, MUNet, SmallDecoder, TransUNet, ViTEncoder, get_network)

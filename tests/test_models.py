@@ -26,6 +26,7 @@ def test_registry_contents():
     assert set(sam_model_registry) == {"default", "vit_h", "vit_l", "vit_b", "vit_t"}
 
 
+@pytest.mark.slow
 def test_tinyvit_encoder_shape():
     enc = TinyViT(img_size=IMG)
     x = jnp.zeros((1, IMG, IMG, 3))
@@ -34,6 +35,7 @@ def test_tinyvit_encoder_shape():
     assert out.shape == (1, IMG // 16, IMG // 16, 256)
 
 
+@pytest.mark.slow
 def test_sam_vit_t_forward(vit_t):
     model, variables = vit_t
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, IMG, IMG, 3)),
@@ -75,6 +77,7 @@ def test_clip_segmentor(vit_t):
     assert labels.max() <= 2  # 3 classes
 
 
+@pytest.mark.slow
 def test_vitdet_encoder_shape():
     enc = ImageEncoderViT(img_size=64, patch_size=16, embed_dim=64, depth=2,
                           num_heads=2, global_attn_indexes=(1,))

@@ -18,6 +18,7 @@ def _texture(rng, h=48, w=48):
     return (img * 255.0).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_sharded_clip_flow_matches_single(rng):
     # 6 frames -> 5 pairs, padded to 8 across the data axis
     f0 = _texture(rng)
@@ -36,6 +37,7 @@ def test_sharded_clip_flow_matches_single(rng):
     assert abs(np.median(sharded[0, 8:-8, 8:-8, 0]) - 0.5) < 0.2
 
 
+@pytest.mark.slow
 def test_box_prompted_train_step(rng):
     from tee_optical_flow_tpu.models.registry import build_sam_vit_t
     from tee_optical_flow_tpu.train.loop import build_runtime, make_train_step
@@ -59,6 +61,7 @@ def test_box_prompted_train_step(rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow
 def test_gan_helpers(rng):
     import optax
 

@@ -157,6 +157,7 @@ def test_host_shard_list():
     assert host_shard_list(items, 3, 5) == []
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("finetune_type", ["vanilla", "adapter", "lora"])
 def test_train_step_multidevice(tiny_sam, finetune_type):
     """One real DP train step on the 8-device CPU mesh for each policy."""

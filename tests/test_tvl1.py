@@ -85,6 +85,7 @@ def test_tvl1_recovers_subpixel_shift(rng):
     assert np.median(epe) < 0.15, f"median EPE {np.median(epe):.3f}"
 
 
+@pytest.mark.slow
 def test_tvl1_recovers_multi_pixel_shift_via_pyramid(rng):
     img = _texture(rng, 96, 96, smooth=4.0)
     dx, dy = 5.0, 3.0
@@ -97,6 +98,7 @@ def test_tvl1_recovers_multi_pixel_shift_via_pyramid(rng):
     assert np.median(epe) < 0.5, f"median EPE {np.median(epe):.3f}"
 
 
+@pytest.mark.slow
 def test_tvl1_clip_flow_batches_pairs(rng):
     f0 = _texture(rng, 48, 48)
     f1 = ndimage.shift(f0, (0.0, 1.0), order=3, mode="nearest")
@@ -110,6 +112,7 @@ def test_tvl1_clip_flow_batches_pairs(rng):
         assert abs(np.median(flow[i, 8:-8, 8:-8, 1])) < 0.2
 
 
+@pytest.mark.slow
 def test_tvl1_zero_motion_is_zero(rng):
     img = _texture(rng, 48, 48)
     flow = np.asarray(tvl1_flow_pairs(img[None], img[None], **FAST))[0]
@@ -195,6 +198,46 @@ def test_pallas_inner_block_matches_xla_interpret(rng):
     for name, a, c in zip(("u", "v", "p11", "p12", "p21", "p22"), ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5,
                                    err_msg=name)
+
+
+def test_pallas_fused_outer_loop_matches_xla_interpret(rng):
+    """Interpret-mode parity of the fused whole-scale kernel (median +
+    inner blocks x outer, one pallas_call per warp) vs the composed XLA
+    path, with and without the in-kernel 5x5 flow median."""
+    from tee_optical_flow_tpu.ops.tvl1 import tvl1_inner_block_xla
+    from tee_optical_flow_tpu.ops.tvl1_pallas import tvl1_outer_loop_pallas
+    from tee_optical_flow_tpu.ops.warp import median_filter_5x5
+
+    b, h, w = 2, 40, 48
+
+    def f(scale):
+        return (rng.normal(size=(b, h, w)) * scale).astype(np.float32)
+
+    rho_c, i1wx, i1wy = f(0.3), f(0.5), f(0.5)
+    grad = i1wx * i1wx + i1wy * i1wy
+    grad[:, 5:8, 5:8] = 0.0  # exercise the grad <= eps branch
+    u, v = f(0.2), f(0.2)
+    ps = [f(0.1) for _ in range(4)]
+    kw = dict(l_t=0.045, theta=0.3, taut=0.25 / 0.3)
+    outer, inner = 3, 7
+
+    for use_median in (True, False):
+        ur, vr = u, v
+        pr = list(ps)
+        for _ in range(outer):
+            if use_median:
+                ur = median_filter_5x5(ur)
+                vr = median_filter_5x5(vr)
+            ur, vr, *pr = tvl1_inner_block_xla(
+                rho_c, i1wx, i1wy, grad, ur, vr, *pr, n_iters=inner, **kw)
+        got = tvl1_outer_loop_pallas(
+            rho_c, i1wx, i1wy, grad, u, v, *ps, outer_iters=outer,
+            inner_iters=inner, use_median=use_median, interpret=True, **kw)
+        for name, a, c in zip(("u", "v", "p11", "p12", "p21", "p22"),
+                              [ur, vr] + pr, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-5,
+                                       err_msg=f"{name} median={use_median}")
 
 
 def test_median_network_matches_numpy(rng):
