@@ -52,6 +52,16 @@ def detect_r_peaks(ecg: np.ndarray, sampling_rate: float,
         return np.array([], dtype=np.int64)
 
     cleaned = ecg_clean(ecg, sampling_rate)
+
+    # flat / disconnected-lead guard: a real ECG carries most of its QRS
+    # energy in the 4-45 Hz passband; a constant or slowly drifting lead
+    # leaves only filter residue there (~machine epsilon), and the
+    # relative threshold below would then "detect" beats in pure noise.
+    rms_in_band = float(np.sqrt(np.mean(cleaned ** 2)))
+    rms_total = float(np.sqrt(np.mean((ecg - ecg.mean()) ** 2)))
+    if rms_in_band < max(0.01 * rms_total, 1e-10):
+        return np.array([], dtype=np.int64)
+
     deriv = np.gradient(cleaned)
     squared = deriv ** 2
     win = max(1, int(round(0.12 * sampling_rate)))  # ~QRS width

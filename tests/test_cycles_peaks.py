@@ -204,3 +204,27 @@ def test_calculate_single_peaks_show_all():
                                  cc_method="ecg", peak_thres=0.1, min_dist=3,
                                  pick_peak_by_subset=True, show_all_peaks=True)
     assert "all_px" in out and len(out["all_px"]) >= 3
+
+
+@pytest.mark.parametrize("det_cls", [ECGLazyDetector, ECGDetector])
+def test_ecg_detectors_flat_lead_degrade_gracefully(det_cls):
+    """A flat ECG lead (zero R-peaks) must produce empty interval lists,
+    set the calculated flag, and not raise (pathological-trace coverage)."""
+    ds = FakeDS(24)
+    det = det_cls(CardiacCycleConfig())
+    sys_frames, dia_frames = det.detect(ds, np.zeros(1200), 500)
+    assert sys_frames == [] and dia_frames == []
+    assert ds.CARDIACCYCLE_CALCULATED
+
+
+def test_ecg_lazy_detector_inverted_lead():
+    """An inverted lead still segments the clip into plausible intervals."""
+    from tests.test_signal import _synthetic_ecg
+
+    ecg, _ = _synthetic_ecg()
+    ds = FakeDS(48, frame_rate=20.0)
+    det = ECGLazyDetector(CardiacCycleConfig())
+    sys_frames, dia_frames = det.detect(ds, -ecg, 500)
+    assert len(sys_frames) >= 1 and len(dia_frames) >= 1
+    for s in sys_frames:
+        assert 0 <= s[0] <= s[1] <= ds.nframes - 1

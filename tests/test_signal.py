@@ -117,3 +117,29 @@ def test_ecg_clean_removes_baseline_wander():
     wander = 0.5 * np.sin(2 * np.pi * 0.3 * t)
     cleaned = ecg_clean(wander, 500)
     assert np.abs(cleaned).max() < 0.05
+
+
+def test_r_peak_detection_flat_lead():
+    """A disconnected/flat lead must yield zero beats, not a crash or
+    spurious detections (the reference's neurokit2 path handled this
+    implicitly; weak-item coverage)."""
+    for trace in (np.zeros(1200), np.full(1200, 3.7),
+                  np.linspace(0.0, 0.01, 1200)):  # DC offset / slow drift
+        peaks = detect_r_peaks(trace, 500)
+        assert peaks.size == 0, peaks
+
+
+def test_r_peak_detection_inverted_qrs(rng):
+    """Lead inversion (negative R deflections) must find the same beats:
+    the detector squares the derivative and refines on |amplitude|."""
+    ecg, truth = _synthetic_ecg(rng=rng)
+    peaks = detect_r_peaks(-ecg, 500)
+    assert peaks.size == truth.size
+    assert np.all(np.min(np.abs(peaks[:, None] - truth[None, :]), axis=1) < 15)
+
+
+def test_r_peak_detection_short_trace():
+    """Traces shorter than a QRS window return empty without touching the
+    filter (filtfilt would raise on padlen >= n)."""
+    assert detect_r_peaks(np.zeros(10), 500).size == 0
+    assert detect_r_peaks(np.array([]), 500).size == 0

@@ -206,3 +206,23 @@ def test_train_step_multidevice(tiny_sam, finetune_type):
     l, d = eval_step(trainable, frozen, batch_stats,
                      jnp.asarray(images), jnp.asarray(labels))
     assert np.isfinite(float(l)) and 0.0 <= float(d) <= 1.0
+
+
+def test_initialize_distributed(monkeypatch):
+    """Single-process is a no-op; multi-process forwards the coordinator
+    rendezvous to jax.distributed.initialize (the gloo init_process_group
+    equivalent, reference DDP_splitgpu...py:44-49)."""
+    import jax
+
+    from tee_optical_flow_tpu.parallel.mesh import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    initialize_distributed()                       # no args -> no-op
+    initialize_distributed(num_processes=1)        # world size 1 -> no-op
+    assert calls == []
+    initialize_distributed(coordinator_address="10.0.0.1:12333",
+                           num_processes=4, process_id=2)
+    assert calls == [{"coordinator_address": "10.0.0.1:12333",
+                      "num_processes": 4, "process_id": 2}]
