@@ -79,6 +79,16 @@ class RelPosAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+def _closest_factors(n: int) -> Tuple[int, int]:
+    """Factor pair (a, b), a <= b, a*b == n, closest to sqrt(n) — how the
+    reference lays the depth axis out as a 2D grid for the shared window
+    attention (image_encoder.py:214-218, utils closest_numbers)."""
+    a = int(np.sqrt(n))
+    while n % a:
+        a -= 1
+    return a, n // a
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -86,27 +96,54 @@ class Block(nn.Module):
     window_size: int = 14
     use_adapter: bool = False
     input_size: Tuple[int, int] = (64, 64)
+    thd: bool = False
+    chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        if self.window_size > 0:
-            wins, dims = _window_partition(x, self.window_size)
-            ws = self.window_size
+        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
+        ws = self.window_size
+        attn = RelPosAttention(self.dim, self.num_heads,
+                               input_size=(ws, ws) if ws > 0 else (h, w),
+                               dtype=self.dtype, name="attn")
+
+        if self.thd:
+            # 3D (thd) branch, reference image_encoder.py:211-231: attend
+            # over the depth/slice axis independently at every spatial
+            # location, reusing the *same* attention weights by arranging
+            # the chunk of `d` slices as a near-square dh x dw grid; a
+            # no-skip Depth Adapter projects the result before it is added
+            # to the spatial attention output. The leading axis is (b d):
+            # a batch of b volumes chunked into d slices each.
+            d = self.chunk
+            if d <= 0 or b % d:
+                raise ValueError(
+                    f"thd branch needs batch ({b}) divisible by chunk ({d})")
+            dh, dw = _closest_factors(d)
+            # (b*d, h, w, c) -> (b*h*w, dh, dw, c)
+            xd = x.reshape(b // d, d, h * w, c)
+            xd = jnp.swapaxes(xd, 1, 2).reshape(-1, dh, dw, c)
+            xd = norm1(xd)
+            xd = Adapter(skip_connect=False, name="depth_adapter")(attn(xd))
+            # back to (b*d, h, w, c)
+            xd = xd.reshape(b // d, h * w, d, c)
+            xd = jnp.swapaxes(xd, 1, 2).reshape(b, h, w, c)
+
+        x = norm1(x)
+        if ws > 0:
+            wins, dims = _window_partition(x, ws)
             wins = wins.reshape(-1, ws, ws, c)
-            wins = RelPosAttention(self.dim, self.num_heads,
-                                   input_size=(ws, ws), dtype=self.dtype,
-                                   name="attn")(wins)
+            wins = attn(wins)
             x = _window_unpartition(wins.reshape(-1, ws * ws, c), ws, b, h, w, dims)
         else:
-            x = RelPosAttention(self.dim, self.num_heads,
-                                input_size=(h, w), dtype=self.dtype,
-                                name="attn")(x)
+            x = attn(x)
         if self.use_adapter:
             x = Adapter(name="space_adapter")(x)
+        if self.thd:
+            x = x + xd
         x = shortcut + x
 
         normed = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -131,6 +168,8 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     adapter_blocks: Sequence[int] = ()
+    thd: bool = False
+    chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -147,8 +186,8 @@ class ImageEncoderViT(nn.Module):
             ws = 0 if i in self.global_attn_indexes else self.window_size
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                       window_size=ws, use_adapter=(i in self.adapter_blocks),
-                      input_size=(grid, grid), dtype=self.dtype,
-                      name=f"block{i}")(x, train)
+                      input_size=(grid, grid), thd=self.thd, chunk=self.chunk,
+                      dtype=self.dtype, name=f"block{i}")(x, train)
 
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)

