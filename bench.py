@@ -6,7 +6,9 @@ BASELINE.md "clip wall-clock" metric. Drives the real production path
 (`process_video` via the in-memory clip override: otsu masks, full-
 settings TV-L1 flow, unit conversion, gzip-9 schema HDF5 write) with the
 same one-deep write-behind `process_folder` uses, measured after a warm-up
-clip so compile time is excluded. ``vs_baseline`` is null: the reference's
+clip so compile time is excluded. The value is the steady-state inter-clip
+interval (what a long cohort run pays per clip: max(compute, write), the
+final drain amortizing away). ``vs_baseline`` is null: the reference's
 `process_video` needs cv2.optflow/CUDA, neither installable in this
 environment (cv2 5.0.0 without contrib; no package installs). For scale:
 the reference's CPU flow alone at the measured 0.0611 frames/s would take
@@ -111,12 +113,18 @@ def _measure_clip_e2e(on_tpu: bool) -> float:
         assert not warm.close(), "warm-up clip failed"
 
         writer = AsyncHDF5Writer()
-        t0 = time.perf_counter()
-        for i in range(reps):
+        # steady state = inter-clip submit interval: with the one-deep
+        # write-behind, a long cohort run costs max(compute, write) per
+        # clip (submit blocks on write backpressure), plus one final
+        # drain that amortizes away over the run. reps+1 clips give
+        # `reps` intervals.
+        marks = []
+        for i in range(reps + 1):
             run(f"steady{i}", writer)
-        failures = writer.close()  # drain: the last write counts
-        dt = (time.perf_counter() - t0) / reps
+            marks.append(time.perf_counter())
+        failures = writer.close()
         assert not failures, f"bench clip writes failed: {failures}"
+        dt = (marks[-1] - marks[0]) / reps
     return dt
 
 

@@ -252,11 +252,23 @@ def process_video(dcm_path: str, save_path: str,
         if bkgd_comp == "WASE":
             flow_pairs = _wase_background(
                 flow_pairs, jnp.asarray(mask_dict["bkgd"]))
-        flow_pairs = np.asarray(flow_pairs)
+        # unit conversion (:600) and the schema storage dtype (float16,
+        # io/hdf5.py) applied on device: the device->host link moves
+        # ~30 MB/s here, so halving the bytes halves the transfer; both
+        # DMAs start async so they overlap each other
+        flow_dev = (flow_pairs *
+                    jnp.float32(conversion_factor)).astype(jnp.float16)
+        echo_dev = jnp.asarray(gray, jnp.float16)
+        try:
+            for arr in (flow_dev, echo_dev):
+                arr.copy_to_host_async()
+        except Exception:  # backend without async host copies: block below
+            pass
+        flow_pairs = np.asarray(flow_dev)
+        echo_gray = np.asarray(echo_dev)
 
-    # duplicate last flow frame to clip length, convert units (:599-600)
+    # duplicate last flow frame to clip length (:599)
     flow_arr = np.concatenate([flow_pairs, flow_pairs[-1:]], axis=0)
-    flow_arr = flow_arr * conversion_factor
 
     # --- waveforms (host) ---
     waveform_results: Dict = {}
@@ -276,7 +288,6 @@ def process_video(dcm_path: str, save_path: str,
         patient_id = str(ds.get((0x0010, 0x0020), "") or "")
         hr = ds.get((0x0018, 0x1088))
         heart_rate = hr if hr is not None else 0
-    echo_gray = np.asarray(gray)
     # snapshot everything the write closure touches: nothing below is
     # mutated after this point, so the write-behind thread sees a
     # consistent clip even while the caller starts the next one
