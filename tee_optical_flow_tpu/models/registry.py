@@ -27,6 +27,17 @@ from .tinyvit import TinyViT
 def _init_variables(model: Sam, image_size: int, seed: int = 0):
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    # init on host CPU: flax init traces a full forward, and compiling
+    # that at 1024^2 on the accelerator is a multi-minute cold-start for
+    # weights that a checkpoint load typically overwrites anyway. The
+    # weights move to the accelerator on first jitted use.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() not in ("cpu",):
+        with jax.default_device(cpu):
+            return model.init(rng, dummy)
     return model.init(rng, dummy)
 
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax import lax
 
 from ..ops.imaging import IMAGENET_MEAN, IMAGENET_STD
 from .mask_decoder import MaskDecoder
@@ -95,15 +96,28 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         frames = np.asarray(frames)
         n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         th, tw = out_hw or (h, w)
-        preds = []
+        # one host->device DMA for the whole uint8 clip (the tunnel-style
+        # links this runs over move tens of MB/s: per-micro-batch
+        # transfers would serialize with compute), then device-side
+        # slices feed the compiled micro-batch program
+        clip_dev = jnp.asarray(frames)
+        outs = []
         for start in range(0, n, micro_batch):
-            chunk = frames[start:start + micro_batch]
-            pad = micro_batch - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
-            out = np.asarray(run_batch(jnp.asarray(chunk)))
-            preds.append(out[:micro_batch - pad] if pad else out)
-        pred = np.concatenate(preds, axis=0)  # (N, 256, 256)
+            chunk = lax.dynamic_slice_in_dim(
+                clip_dev, min(start, n - micro_batch) if n >= micro_batch
+                else 0, min(micro_batch, n), axis=0)
+            if chunk.shape[0] < micro_batch:  # clip shorter than one batch
+                reps = micro_batch - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
+            outs.append(run_batch(chunk))
+        pred = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        if n < micro_batch:  # single padded batch: drop the padding
+            pred = pred[:n]
+        elif pred.shape[0] != n:  # drop the overlap of the shifted tail batch
+            tail_keep = n - (pred.shape[0] - micro_batch)
+            pred = np.concatenate(
+                [pred[:-micro_batch], pred[-tail_keep:]], axis=0)
         # NEAREST upsample back to the clip resolution
         yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
         xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)

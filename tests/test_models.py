@@ -129,3 +129,17 @@ def test_vitdet_thd_depth_branch():
     v2 = enc_off.init(jax.random.key(0), x)
     out_off = enc_off.apply(v2, x)
     assert out_off.shape == (4, 2, 2, 256)
+
+
+def test_clip_segmentor_tail_invariance(vit_t):
+    """Labels are independent of micro-batch composition: the shifted
+    tail batch and the shorter-than-one-batch path must reproduce the
+    per-frame (micro_batch=1) segmentation exactly."""
+    model, variables = vit_t
+    rng = np.random.default_rng(2)
+    for n in (1, 3, 5):
+        clip = (rng.uniform(size=(n, 40, 40, 3)) * 255).astype(np.uint8)
+        ref = make_clip_segmentor(model, variables, micro_batch=1)(clip)
+        for mb in (2, 4):
+            got = make_clip_segmentor(model, variables, micro_batch=mb)(clip)
+            np.testing.assert_array_equal(ref, got, err_msg=f"n={n} mb={mb}")

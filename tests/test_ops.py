@@ -174,3 +174,4 @@ def test_rgb2gray_and_uint8(rng):
     np.testing.assert_allclose(gray, ref, atol=1e-5)
     u8 = np.asarray(img2uint8_jnp(gray[0]))
     assert u8.min() >= 0 and u8.max() <= 255
+
