@@ -221,7 +221,10 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     tvl1_max_displacement: int = 16
     tvl1_use_pallas: bool = True
     # DeepFlow-style variational refinement
-    deepflow_alpha: float = 1.0
+    # smoothness weight, calibrated for [0, 255] intensities: alpha 1
+    # under-smooths (7-18% of pixels ran away on weakly textured frames,
+    # flow values +-150 px); the alpha 3..8 plateau is flat, 8 is safest
+    deepflow_alpha: float = 8.0
     deepflow_delta: float = 0.5
     deepflow_gamma: float = 5.0
     deepflow_iterations: int = 25
@@ -231,6 +234,10 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     deepflow_matching: bool = True
     deepflow_match_radius: int = 4
     deepflow_beta: float = 0.3
+    # fixed-point (re-warping) iterations per pyramid level and the
+    # finest-level displacement bound of the gather-free shift warp
+    deepflow_fp_iterations: int = 3
+    deepflow_max_displacement: int = 16
 
 
 # ---------------------------------------------------------------------------

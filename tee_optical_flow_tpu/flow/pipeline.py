@@ -120,7 +120,9 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               delta=config.deepflow_delta,
                               gamma=config.deepflow_gamma,
                               iters=config.deepflow_iterations,
-                              nscales=config.deepflow_nscales)
+                              nscales=config.deepflow_nscales,
+                              fp_iters=config.deepflow_fp_iterations,
+                              max_disp=config.deepflow_max_displacement)
     return flow[:n_pairs]
 
 

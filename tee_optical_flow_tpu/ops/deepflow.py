@@ -33,10 +33,13 @@ from jax import lax
 
 from .warp import (
     bilinear_warp, build_pyramid, centered_gradient, pyramid_shapes,
-    resize_bilinear,
+    resize_bilinear, warp_many_shift, warp_many_shift_tiled,
 )
 
 _EPS = 1e-6
+# shift-warp residual radius above which the row-band tiled decomposition
+# takes over (same scheme as ops/tvl1.py)
+_DF_LOCAL_R = 8
 
 
 def _robust(x2: jnp.ndarray) -> jnp.ndarray:
@@ -219,17 +222,21 @@ def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
 
 @functools.partial(
     jax.jit, static_argnames=("alpha", "delta", "gamma", "nscales", "zoom",
-                              "iters", "matching", "match_radius", "beta"))
+                              "iters", "matching", "match_radius", "beta",
+                              "fp_iters", "max_disp"))
 def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
-                   alpha: float = 1.0, delta: float = 0.5, gamma: float = 5.0,
+                   alpha: float = 8.0, delta: float = 0.5, gamma: float = 5.0,
                    nscales: int = 5, zoom: float = 0.5,
                    iters: int = 25, matching: bool = True,
-                   match_radius: int = 4, beta: float = 0.3) -> jnp.ndarray:
+                   match_radius: int = 4, beta: float = 0.3,
+                   fp_iters: int = 3, max_disp: int = 16) -> jnp.ndarray:
     """Variational flow for (B, H, W) pairs -> (B, H, W, 2).
 
     ``matching`` enables the DeepFlow matching term: patch-NCC cost-volume
     matches at the two coarsest pyramid levels feed the energy as a soft
     constraint of weight ``beta`` (0 disables; refinement only).
+    ``fp_iters`` fixed-point (re-warping) iterations run per level;
+    ``max_disp`` bounds the finest-level displacement for the shift warp.
     """
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)
@@ -255,24 +262,38 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     for lvl in range(len(shapes) - 1, -1, -1):
         a0 = pyr0[lvl]
         a1 = pyr1[lvl]
-        i1x, i1y = centered_gradient(a1)
-        i1xx, i1xy = centered_gradient(i1x)
-        _, i1yy = centered_gradient(i1y)
-
-        i1w = bilinear_warp(a1, u, v)
-        i1wx = bilinear_warp(i1x, u, v)
-        i1wy = bilinear_warp(i1y, u, v)
-        i1wxx = bilinear_warp(i1xx, u, v)
-        i1wxy = bilinear_warp(i1xy, u, v)
-        i1wyy = bilinear_warp(i1yy, u, v)
+        # per-level displacement bound for the gather-free shift warp:
+        # motion in level-lvl pixels scales by zoom^lvl; the coarsest
+        # levels also carry the matching seed (<= match_radius)
+        lvl_disp = max(match_radius + 1 if matching else 3,
+                       int(round(max_disp * (zoom ** lvl))) + 1)
 
         match = (coarse_match(a0, a1, radius=match_radius)
                  if lvl in match_levels else None)
-        du, dv = _jacobi_sweeps(a0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy,
-                                u, v, alpha=alpha, delta=delta, gamma=gamma,
-                                iters=iters, match=match, beta=beta)
-        u = u + du
-        v = v + dv
+        # fixed-point outer loop: re-warp and re-linearize around the
+        # updated flow (OpenCV DeepFlow's fixedPointIterations; without
+        # it a level's increment is limited to the ~1 px linearization
+        # range and upscale errors compound). The five derivative images
+        # are warped alongside i1 — Brox's formulation; differentiating
+        # the warped image instead was measured to diverge under the
+        # fixed point (the flow Jacobian enters the data term's
+        # gradients). All six share one set of shift-warp hat weights.
+        i1x, i1y = centered_gradient(a1)
+        i1xx, i1xy = centered_gradient(i1x)
+        _, i1yy = centered_gradient(i1y)
+        imgs = (a1, i1x, i1y, i1xx, i1xy, i1yy)
+        for _ in range(fp_iters):
+            if lvl_disp > _DF_LOCAL_R:
+                warped = warp_many_shift_tiled(
+                    imgs, u, v, max_disp=lvl_disp,
+                    local_r=_DF_LOCAL_R, tile_h=32)
+            else:
+                warped = warp_many_shift(imgs, u, v, max_disp=lvl_disp)
+            du, dv = _jacobi_sweeps(a0, *warped, u, v, alpha=alpha,
+                                    delta=delta, gamma=gamma, iters=iters,
+                                    match=match, beta=beta)
+            u = u + du
+            v = v + dv
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
@@ -284,8 +305,9 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
 
 def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray:
     """Flow for all consecutive pairs of a (N, H, W) clip -> (N-1, H, W, 2)."""
-    params = dict(alpha=1.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
-                  iters=25, matching=True, match_radius=4, beta=0.3)
+    params = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
+                  iters=25, matching=True, match_radius=4, beta=0.3,
+                  fp_iters=3, max_disp=16)
     if config is not None:
         params.update(alpha=config.deepflow_alpha, delta=config.deepflow_delta,
                       gamma=config.deepflow_gamma,
@@ -293,7 +315,9 @@ def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.nda
                       nscales=config.deepflow_nscales,
                       matching=config.deepflow_matching,
                       match_radius=config.deepflow_match_radius,
-                      beta=config.deepflow_beta)
+                      beta=config.deepflow_beta,
+                      fp_iters=config.deepflow_fp_iterations,
+                      max_disp=config.deepflow_max_displacement)
     params.update(overrides)
     frames = jnp.asarray(frames)
     return deepflow_pairs(frames[:-1], frames[1:], **params)
