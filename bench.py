@@ -153,6 +153,28 @@ def main() -> None:
                     "~540 s/clip at the recorded 0.0611 frames/s",
     }), flush=True)
 
+    if on_tpu:
+        # context line: the DeepFlow backend at the same resolution
+        import jax.numpy as jnp
+
+        from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+
+        frames = _make_clip(17, h, w)
+        df0, df1 = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
+        flow = deepflow_pairs(df0, df1)
+        float(jnp.sum(jnp.abs(flow)))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            flow = deepflow_pairs(df0, df1)
+            float(jnp.sum(jnp.abs(flow)))
+        df_fps = 16 * 3 / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "deepflow_frames_per_sec_per_chip_480x640",
+            "value": round(df_fps, 3), "unit": "frames/s",
+            "vs_baseline": None,
+            "baseline": "OpenCV-CPU DeepFlow not installable here",
+        }), flush=True)
+
     n_frames = 17 if on_tpu else 3
     frames = _make_clip(n_frames, h, w)
     dt = _measure(frames, reps=3 if on_tpu else 1, use_pallas=on_tpu)
