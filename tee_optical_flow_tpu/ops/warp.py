@@ -99,13 +99,14 @@ def warp_many_shift(imgs, u: jnp.ndarray, v: jnp.ndarray,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ky.astype(jnp.float32)))
         slabs = [lax.dynamic_slice(p, (0, k, 0), (b, h, w + 2 * r))
                  for p in padded]
+        # separable accumulation: sum the row interpolation first, apply
+        # wy once per row offset (saves the per-term wy*wx product)
         partial = [jnp.zeros((b, h, w), imgs[0].dtype) for _ in imgs]
         for kx in range(-r, r + 1):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - kx))
-            wgt = wy * wx
             for i, slab in enumerate(slabs):
-                partial[i] = partial[i] + wgt * slab[:, :, r + kx:r + kx + w]
-        return tuple(a + pl_ for a, pl_ in zip(acc, partial))
+                partial[i] = partial[i] + wx * slab[:, :, r + kx:r + kx + w]
+        return tuple(a + wy * pl_ for a, pl_ in zip(acc, partial))
 
     init = tuple(jnp.zeros((b, h, w), imgs[0].dtype) for _ in imgs)
     return lax.fori_loop(0, 2 * r + 1, body, init)
@@ -163,15 +164,20 @@ def warp_many_shift_tiled(imgs, u: jnp.ndarray, v: jnp.ndarray,
             (slab_rows, slab_cols)) for p_img in padded_b]
 
         outs = [jnp.zeros((tile_h, w), imgs[0].dtype) for _ in imgs]
+        # hoist the column hat weights (shared by every row offset), and
+        # accumulate each row interpolation before the single wy scale
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ru - kx))
+               for kx in range(-lr, lr + 2)]
         for ky in range(-lr, lr + 2):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(rv - ky))
-            for kx in range(-lr, lr + 2):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ru - kx))
-                wgt = wy * wx
+            rowacc = [jnp.zeros((tile_h, w), imgs[0].dtype) for _ in imgs]
+            for j, kx in enumerate(range(-lr, lr + 2)):
                 for i, slab in enumerate(slabs):
-                    outs[i] = outs[i] + wgt * slab[
+                    rowacc[i] = rowacc[i] + wxs[j] * slab[
                         margin + ky:margin + ky + tile_h,
                         margin + kx:margin + kx + w]
+            for i in range(len(imgs)):
+                outs[i] = outs[i] + wy * rowacc[i]
         return tuple(outs)
 
     per_b = jax.vmap(one_tile, in_axes=(None, 0, 0, 0))
