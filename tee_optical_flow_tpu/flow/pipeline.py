@@ -112,7 +112,9 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
             outer_iters=config.tvl1_outer_iterations,
             inner_iters=config.tvl1_inner_iterations,
             use_median=config.tvl1_median_filtering,
-            max_disp=config.tvl1_max_displacement)
+            max_disp=config.tvl1_max_displacement,
+            use_pallas=(config.tvl1_use_pallas
+                        and jax.default_backend() not in ("cpu",)))
     else:
         from ..ops.deepflow import deepflow_pairs
 
@@ -121,6 +123,9 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               gamma=config.deepflow_gamma,
                               iters=config.deepflow_iterations,
                               nscales=config.deepflow_nscales,
+                              matching=config.deepflow_matching,
+                              match_radius=config.deepflow_match_radius,
+                              beta=config.deepflow_beta,
                               fp_iters=config.deepflow_fp_iterations,
                               max_disp=config.deepflow_max_displacement)
     return flow[:n_pairs]
@@ -133,8 +138,9 @@ class AsyncHDF5Writer:
     ~15 s clip, NOTES round 1) and runs entirely on the host, serially
     after device compute. h5py releases the GIL around HDF5 library
     calls, so a single writer thread lets clip N gzip while clip N+1's
-    masks/flow run on the chip. Depth 1 bounds host memory to one
-    pending clip. Failures are captured with the originating source path
+    masks/flow run on the chip. The depth-1 queue bounds host memory to
+    at most two outstanding clips (one being written plus one queued).
+    Failures are captured with the originating source path
     so `process_folder`'s per-file error-isolation semantics survive
     (reference calculate_optical_flow.py:276-284).
     """

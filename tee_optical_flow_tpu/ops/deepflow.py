@@ -139,10 +139,10 @@ def coarse_match(i0: jnp.ndarray, i1: jnp.ndarray, *, radius: int = 4,
     vb_at = bilinear_warp(vb, uf, vf)
     fb_ok = ((jnp.abs(uf + ub_at) <= fb_tol) &
              (jnp.abs(vf + vb_at) <= fb_tol))
-    unambiguous = (ncc_f - second_f) > margin_min
-    # zero-displacement matches are gladly kept even when ambiguous: they
-    # agree with the variational solver's own prior
-    informative = unambiguous | ((uf == 0.0) & (vf == 0.0))
+    # ambiguous matches (runner-up within margin) carry no information —
+    # including ambiguous zero matches: pinning weak-texture regions to
+    # zero displacement would fight real sub-threshold motion there
+    informative = (ncc_f - second_f) > margin_min
     # source patches straddling the border are z-normalized on truncated
     # windows; don't trust them
     b, h, w = uf.shape
@@ -249,12 +249,16 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     ch, cw = shapes[-1]
     u = jnp.zeros((b, ch, cw), jnp.float32)
     v = jnp.zeros((b, ch, cw), jnp.float32)
+    coarsest_match = None
     if matching:
         # Matches seed the coarsest level (this is what lets the solver
         # escape the zero-flow minimum on displacements beyond the warping
         # linearization range); unconfident pixels take a confidence-
-        # weighted neighborhood fill of the confident ones.
-        um, vm, conf = coarse_match(pyr0[-1], pyr1[-1], radius=match_radius)
+        # weighted neighborhood fill of the confident ones. The same cost
+        # volume feeds the coarsest level's matching term below.
+        coarsest_match = coarse_match(pyr0[-1], pyr1[-1],
+                                      radius=match_radius)
+        um, vm, conf = coarsest_match
         fill = max(ch, cw) // 4 + 1
         wsum = _box_mean(conf, fill) + 1e-6
         u = _box_mean(um * conf, fill) / wsum
@@ -268,8 +272,12 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
         lvl_disp = max(match_radius + 1 if matching else 3,
                        int(round(max_disp * (zoom ** lvl))) + 1)
 
-        match = (coarse_match(a0, a1, radius=match_radius)
-                 if lvl in match_levels else None)
+        if lvl == len(shapes) - 1 and coarsest_match is not None:
+            match = coarsest_match  # reuse the seed's cost volume
+        elif lvl in match_levels:
+            match = coarse_match(a0, a1, radius=match_radius)
+        else:
+            match = None
         # fixed-point outer loop: re-warp and re-linearize around the
         # updated flow (OpenCV DeepFlow's fixedPointIterations; without
         # it a level's increment is limited to the ~1 px linearization

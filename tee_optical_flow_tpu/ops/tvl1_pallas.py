@@ -41,57 +41,18 @@ _N_CONST = 5   # rho_c, i1wx, i1wy, th, inv_grad
 _N_STATE = 6   # u, v, p11, p12, p21, p22
 
 
-def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row starts
-                        rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
-                        u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm,
-                        u_out, v_out, p11_out, p12_out, p21_out, p22_out,
-                        scratch, sem,
-                        *, n_iters: int, l_t: float, theta: float,
-                        taut: float, tile_h: int, halo: int,
-                        height: int, width: int, padded_w: int):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    # offsets are tile_h-multiples (tile_h is 8-aligned); tell Mosaic so
-    # the dynamic DMA slices provably respect the (8, 128) tiling
-    row0 = pl.multiple_of(off_ref[t], 8)
-    slab_h = tile_h + 2 * halo
-
-    # ---- DMA the 11 slabs in ----
-    srcs = [rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
-            u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm]
-    for i, src in enumerate(srcs):
-        pltpu.make_async_copy(
-            src.at[b, pl.ds(row0, slab_h), :],
-            scratch.at[i], sem.at[i]).start()
-    for i in range(len(srcs)):
-        pltpu.make_async_copy(
-            srcs[i].at[b, pl.ds(row0, slab_h), :],
-            scratch.at[i], sem.at[i]).wait()
-
-    rho_c = scratch[0]
-    i1wx = scratch[1]
-    i1wy = scratch[2]
-    th = scratch[3]
-    inv_grad = scratch[4]
-
-    # global coordinates of slab rows (padded row r == global row
-    # r + row0 - halo), for boundary masks
-    rows = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 0) + row0 - halo
-    cols = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 1)
-    last_row = rows == (height - 1)
-    first_row = rows == 0
-    last_col = cols == (width - 1)
-    first_col = cols == 0
-
-    ltx = l_t * i1wx
-    lty = l_t * i1wy
+def _make_stencils(dim_h, dim_w, first_row, last_row, first_col, last_col):
+    """Forward-difference and divergence stencils on (dim_h, dim_w) VMEM
+    arrays via lane/sublane rolls, with the XLA reference ops' boundary
+    semantics (warp.forward_diff / warp.divergence) applied through the
+    global-coordinate masks."""
 
     def fdx(f):
-        s = pltpu.roll(f, padded_w - 1, 1)  # roll by -1 (shifts must be >= 0)
+        s = pltpu.roll(f, dim_w - 1, 1)  # roll by -1 (shifts must be >= 0)
         return jnp.where(last_col, 0.0, s - f)
 
     def fdy(f):
-        s = pltpu.roll(f, slab_h - 1, 0)
+        s = pltpu.roll(f, dim_h - 1, 0)
         return jnp.where(last_row, 0.0, s - f)
 
     def div(p1, p2):
@@ -101,7 +62,24 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
         d2 = jnp.where(first_row, p2, jnp.where(last_row, -r2, p2 - r2))
         return d1 + d2
 
-    def body(_, carry):
+    return fdx, fdy, div
+
+
+def _make_inner_body(scratch, stencils, *, theta, taut, l_t):
+    """The primal-dual iteration, operating in place on the scratch state
+    slabs (indices _N_CONST..) with the per-warp constants at 0.._N_CONST.
+    One source of truth for both the tiled and the fused kernel — the
+    math must stay bitwise-identical to tvl1.tvl1_inner_block_xla."""
+    fdx, fdy, div = stencils
+    rho_c = scratch[0]
+    i1wx = scratch[1]
+    i1wy = scratch[2]
+    th = scratch[3]
+    inv_grad = scratch[4]
+    ltx = l_t * i1wx
+    lty = l_t * i1wy
+
+    def inner_body(_, carry):
         # state lives in the scratch slabs and is updated in place; the
         # loop carries nothing (halves live VMEM vs SSA-carried state)
         u = scratch[5]
@@ -135,6 +113,45 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
         scratch[10] = (p22 + taut * vy) / ng2
         return carry
 
+    return inner_body
+
+
+def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row starts
+                        rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
+                        u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm,
+                        u_out, v_out, p11_out, p12_out, p21_out, p22_out,
+                        scratch, sem,
+                        *, n_iters: int, l_t: float, theta: float,
+                        taut: float, tile_h: int, halo: int,
+                        height: int, width: int, padded_w: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    # offsets are tile_h-multiples (tile_h is 8-aligned); tell Mosaic so
+    # the dynamic DMA slices provably respect the (8, 128) tiling
+    row0 = pl.multiple_of(off_ref[t], 8)
+    slab_h = tile_h + 2 * halo
+
+    # ---- DMA the 11 slabs in ----
+    srcs = [rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
+            u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm]
+    for i, src in enumerate(srcs):
+        pltpu.make_async_copy(
+            src.at[b, pl.ds(row0, slab_h), :],
+            scratch.at[i], sem.at[i]).start()
+    for i in range(len(srcs)):
+        pltpu.make_async_copy(
+            srcs[i].at[b, pl.ds(row0, slab_h), :],
+            scratch.at[i], sem.at[i]).wait()
+
+    # global coordinates of slab rows (padded row r == global row
+    # r + row0 - halo), for boundary masks
+    rows = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 0) + row0 - halo
+    cols = lax.broadcasted_iota(jnp.int32, (slab_h, padded_w), 1)
+    stencils = _make_stencils(slab_h, padded_w,
+                              rows == 0, rows == (height - 1),
+                              cols == 0, cols == (width - 1))
+    body = _make_inner_body(scratch, stencils, theta=theta, taut=taut,
+                            l_t=l_t)
     lax.fori_loop(0, n_iters, body, 0, unroll=False)
 
     # ---- write back the valid tile center straight from the state slabs
@@ -185,39 +202,16 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
     for i, src in enumerate(srcs):
         pltpu.make_async_copy(src.at[b], scratch.at[i], sem.at[i]).wait()
 
-    rho_c = scratch[0]
-    i1wx = scratch[1]
-    i1wy = scratch[2]
-    th = scratch[3]
-    inv_grad = scratch[4]
-
     rows = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 0)
     cols = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 1)
-    last_row = rows == (height - 1)
     first_row = rows == 0
-    last_col = cols == (width - 1)
     first_col = cols == 0
     # clamp masks treating the padded region as out-of-image
     row_hi = rows >= (height - 1)
     col_hi = cols >= (width - 1)
-
-    ltx = l_t * i1wx
-    lty = l_t * i1wy
-
-    def fdx(f):
-        s = pltpu.roll(f, padded_w - 1, 1)
-        return jnp.where(last_col, 0.0, s - f)
-
-    def fdy(f):
-        s = pltpu.roll(f, padded_h - 1, 0)
-        return jnp.where(last_row, 0.0, s - f)
-
-    def div(p1, p2):
-        r1 = pltpu.roll(p1, 1, 1)
-        d1 = jnp.where(first_col, p1, jnp.where(last_col, -r1, p1 - r1))
-        r2 = pltpu.roll(p2, 1, 0)
-        d2 = jnp.where(first_row, p2, jnp.where(last_row, -r2, p2 - r2))
-        return d1 + d2
+    stencils = _make_stencils(padded_h, padded_w,
+                              first_row, rows == (height - 1),
+                              first_col, cols == (width - 1))
 
     # edge-replicated single-pixel shifts (median taps); the padded region
     # is clamped out exactly like the XLA median's edge padding
@@ -258,34 +252,8 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
             wires[j] = jnp.maximum(wi, wj)
         return wires[12]
 
-    def inner_body(_, carry):
-        u = scratch[5]
-        v = scratch[6]
-        p11 = scratch[7]
-        p12 = scratch[8]
-        p21 = scratch[9]
-        p22 = scratch[10]
-        rho = rho_c + i1wx * u + i1wy * v
-        neg = rho < -th
-        pos = rho > th
-        rg = rho * inv_grad
-        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
-        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
-        u = (u + d1) + theta * div(p11, p12)
-        v = (v + d2) + theta * div(p21, p22)
-        scratch[5] = u
-        scratch[6] = v
-        ux = fdx(u)
-        uy = fdy(u)
-        vx = fdx(v)
-        vy = fdy(v)
-        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
-        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-        scratch[7] = (p11 + taut * ux) / ng1
-        scratch[8] = (p12 + taut * uy) / ng1
-        scratch[9] = (p21 + taut * vx) / ng2
-        scratch[10] = (p22 + taut * vy) / ng2
-        return carry
+    inner_body = _make_inner_body(scratch, stencils, theta=theta,
+                                  taut=taut, l_t=l_t)
 
     def outer_body(_, carry):
         if use_median:
