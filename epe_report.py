@@ -100,6 +100,10 @@ def compare_pair(i0: np.ndarray, i1: np.ndarray, use_pallas: bool) -> dict:
                               **SETTINGS)
     t_oracle = time.perf_counter() - t0
 
+    # warm the jit cache so solver_seconds reflects steady state
+    tvl1_flow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
+                    use_median=True, use_pallas=use_pallas, **SETTINGS
+                    ).block_until_ready()
     t0 = time.perf_counter()
     ours = np.asarray(tvl1_flow_pairs(
         jnp.asarray(i0[None]), jnp.asarray(i1[None]), use_median=True,
