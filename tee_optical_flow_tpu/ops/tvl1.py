@@ -32,14 +32,19 @@ from jax import lax
 from .warp import (
     build_pyramid, centered_gradient, divergence, forward_diff,
     median_filter_5x5, pyramid_shapes, resize_bilinear, warp_many_shift,
-    warp_many_shift_tiled,
+    warp_many_shift_tiled2d,
 )
 
 # tiled warping kicks in when the displacement bound exceeds the local
 # residual radius: per-tile integer bases + a small hat-sum beat the dense
-# (2*max_disp+1)^2 sum by ~4x at max_disp=16 (see warp_many_shift_tiled)
+# (2*max_disp+1)^2 sum by ~4x at max_disp=16. 2-D tiles (32x128) rather
+# than full-width row bands: with radial TEE motion u sweeps +-c*W/2
+# across a row, which saturates a row band's +-8 residual and clamps the
+# warp (measured: 5% of in-sector pixels 4+ px off the oracle on a 5%%
+# contraction); a per-tile base tracks it. The radius stays 8 — smaller
+# radii corrupt the solve on unconverged intermediate flow (see
+# warp.warp_many_shift_tiled2d docstring).
 _WARP_LOCAL_R = 8
-_WARP_TILE_H = 32
 
 _GRAD_EPS = 1e-10
 
@@ -110,9 +115,9 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     def warp_body(_, carry):
         u, v, p11, p12, p21, p22 = carry
         if max_disp > _WARP_LOCAL_R:
-            i1w, i1wx, i1wy = warp_many_shift_tiled(
+            i1w, i1wx, i1wy = warp_many_shift_tiled2d(
                 (i1, i1x, i1y), u, v, max_disp=max_disp,
-                local_r=_WARP_LOCAL_R, tile_h=_WARP_TILE_H)
+                local_r=_WARP_LOCAL_R)
         else:
             i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
                                               max_disp=max_disp)

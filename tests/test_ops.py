@@ -175,3 +175,32 @@ def test_rgb2gray_and_uint8(rng):
     u8 = np.asarray(img2uint8_jnp(gray[0]))
     assert u8.min() >= 0 and u8.max() <= 255
 
+
+
+def test_warp_tiled2d_handles_radial_span(rng):
+    """Radial (contraction-like) flow sweeps u across +-10 px over the
+    image width. A full-width row band's +-8 residual clamps there (the
+    round-2 echo-tail bug); the 2-D tile base tracks it exactly."""
+    import jax.numpy as jnp
+
+    from tee_optical_flow_tpu.ops.warp import (
+        warp_many_shift, warp_many_shift_tiled, warp_many_shift_tiled2d,
+    )
+
+    b, h, w = 1, 96, 320
+    img = jnp.asarray(rng.uniform(size=(b, h, w)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w]
+    u = (0.065 * (xx - w / 2)).astype(np.float32)   # spans +-10.4 px
+    v = (0.05 * (yy - h / 2)).astype(np.float32)
+    u = jnp.asarray(u[None])
+    v = jnp.asarray(v[None])
+
+    ref = warp_many_shift((img,), u, v, max_disp=16)[0]
+    got2d = warp_many_shift_tiled2d((img,), u, v, max_disp=16, local_r=8,
+                                    tile_h=32, tile_w=160)[0]
+    np.testing.assert_allclose(np.asarray(got2d), np.asarray(ref), atol=1e-6)
+
+    band = warp_many_shift_tiled((img,), u, v, max_disp=16, local_r=8,
+                                 tile_h=32)[0]
+    assert float(jnp.abs(band - ref).max()) > 0.01, \
+        "row-band variant unexpectedly exact; test premise broken"
