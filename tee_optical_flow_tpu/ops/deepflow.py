@@ -33,11 +33,11 @@ from jax import lax
 
 from .warp import (
     bilinear_warp, build_pyramid, centered_gradient, pyramid_shapes,
-    resize_bilinear, warp_many_shift, warp_many_shift_tiled,
+    resize_bilinear, warp_many_shift, warp_many_shift_tiled2d,
 )
 
 _EPS = 1e-6
-# shift-warp residual radius above which the row-band tiled decomposition
+# shift-warp residual radius above which the 2-D tiled decomposition
 # takes over (same scheme as ops/tvl1.py)
 _DF_LOCAL_R = 8
 
@@ -292,9 +292,9 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
         imgs = (a1, i1x, i1y, i1xx, i1xy, i1yy)
         for _ in range(fp_iters):
             if lvl_disp > _DF_LOCAL_R:
-                warped = warp_many_shift_tiled(
+                warped = warp_many_shift_tiled2d(
                     imgs, u, v, max_disp=lvl_disp,
-                    local_r=_DF_LOCAL_R, tile_h=32)
+                    local_r=_DF_LOCAL_R)
             else:
                 warped = warp_many_shift(imgs, u, v, max_disp=lvl_disp)
             du, dv = _jacobi_sweeps(a0, *warped, u, v, alpha=alpha,
