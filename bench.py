@@ -97,7 +97,7 @@ def _measure_clip_e2e(on_tpu: bool) -> float:
     metadata = {"pixel_spacing": 0.05, "frame_rate": 30.0,
                 "R_times": None, "R_wave_data_present": False}
     cfg = OpticalFlowCalculationConfig(tvl1_use_pallas=on_tpu)
-    reps = 3 if on_tpu else 1
+    reps = 5 if on_tpu else 1
 
     with tempfile.TemporaryDirectory() as tmp:
         def run(tag: str, writer) -> None:
