@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from jax import lax
 
 from ..ops.imaging import IMAGENET_MEAN, IMAGENET_STD
 from .mask_decoder import MaskDecoder
@@ -96,21 +95,21 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         frames = np.asarray(frames)
         n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         th, tw = out_hw or (h, w)
-        # one host->device DMA for the whole uint8 clip (the tunnel-style
-        # links this runs over move tens of MB/s: per-micro-batch
-        # transfers would serialize with compute), then device-side
-        # slices feed the compiled micro-batch program
-        clip_dev = jnp.asarray(frames)
-        outs = []
+        # pipelined uploads: device_put is async, so staging every uint8
+        # micro-batch up front and then dispatching all compute lets the
+        # host->device transfers overlap the encoder (the tunnel-style
+        # links this runs over move tens of MB/s; a single blocking
+        # upload serialized ~2/3 of the clip time, measured on v5e)
+        chunks = []
         for start in range(0, n, micro_batch):
-            chunk = lax.dynamic_slice_in_dim(
-                clip_dev, min(start, n - micro_batch) if n >= micro_batch
-                else 0, min(micro_batch, n), axis=0)
+            s = min(start, n - micro_batch) if n >= micro_batch else 0
+            chunk = frames[s:s + min(micro_batch, n)]
             if chunk.shape[0] < micro_batch:  # clip shorter than one batch
                 reps = micro_batch - chunk.shape[0]
-                chunk = jnp.concatenate(
-                    [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
-            outs.append(run_batch(chunk))
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], reps, 0)], 0)
+            chunks.append(jax.device_put(chunk))
+        outs = [run_batch(c) for c in chunks]
         pred = np.concatenate([np.asarray(o) for o in outs], axis=0)
         if n < micro_batch:  # single padded batch: drop the padding
             pred = pred[:n]
