@@ -37,10 +37,10 @@ from .warp import (
 
 # tiled warping kicks in when the displacement bound exceeds the local
 # residual radius: per-tile integer bases + a small hat-sum beat the dense
-# (2*max_disp+1)^2 sum by ~4x at max_disp=16. 2-D tiles (32x128) rather
-# than full-width row bands: with radial TEE motion u sweeps +-c*W/2
+# (2*max_disp+1)^2 sum by ~4x at max_disp=16. 2-D tiles (adaptive
+# quarter-height x half-width geometry) rather than full-width row bands: with radial TEE motion u sweeps +-c*W/2
 # across a row, which saturates a row band's +-8 residual and clamps the
-# warp (measured: 5% of in-sector pixels 4+ px off the oracle on a 5%%
+# warp (measured: 5% of in-sector pixels 4+ px off the oracle on a 5%
 # contraction); a per-tile base tracks it. The radius stays 8 — smaller
 # radii corrupt the solve on unconverged intermediate flow (see
 # warp.warp_many_shift_tiled2d docstring).
