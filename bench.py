@@ -20,8 +20,9 @@ at native TEE resolution (480x640), OpenCV-default solver settings
 flow median), all frame pairs batched, Pallas fused inner loop.
 
 ``vs_baseline`` provenance (honest label): it divides by THIS solver
-compiled via XLA on one CPU core of this host — 0.0611 frames/s (2 pairs
-in 32.7 s, 2026-08-16; re-measure with ``python bench.py --measure-cpu``).
+compiled via XLA on one CPU core of this host — 0.0564 frames/s
+(re-measured 2026-08-17 with the current solver; re-measure with
+``python bench.py --measure-cpu``).
 OpenCV-CPU DualTVL1 itself is NOT installable here, so the named
 BASELINE.md row 2 baseline is unmeasured (``opencv_cpu_fps: null``);
 single-threaded OpenCV DualTVL1 at VGA is ~0.5-2 s/frame in the
@@ -40,7 +41,7 @@ import time
 import numpy as np
 
 # XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring)
-RECORDED_CPU_BASELINE_FPS = 0.0611
+RECORDED_CPU_BASELINE_FPS = 0.0564
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
 
@@ -150,7 +151,7 @@ def main() -> None:
         "vs_baseline": None,
         "baseline": "reference process_video unmeasurable here "
                     "(needs cv2.optflow/CUDA); its CPU flow alone would be "
-                    "~540 s/clip at the recorded 0.0611 frames/s",
+                    "~570 s/clip at the recorded 0.0564 frames/s",
     }), flush=True)
 
     if on_tpu:
