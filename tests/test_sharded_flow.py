@@ -87,3 +87,23 @@ def test_gan_helpers(rng):
         variables["params"], tx.init(variables["params"]), real, fake,
         jax.random.PRNGKey(2))
     assert np.isfinite(float(loss2))
+
+
+@pytest.mark.slow
+def test_sharded_deepflow_branch(rng):
+    """The sharded path's DeepFlow branch compiles and partitions over the
+    8-way mesh and forwards the config (matching off keeps it small)."""
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    from tee_optical_flow_tpu.flow.pipeline import compute_clip_flow_sharded
+    from tee_optical_flow_tpu.parallel.mesh import make_mesh
+
+    frames = np.stack([_texture(rng, 32, 32) for _ in range(4)])
+    cfg = OpticalFlowCalculationConfig(
+        deepflow_matching=False, deepflow_fp_iterations=1,
+        deepflow_iterations=5, deepflow_nscales=2)
+    mesh = make_mesh(8, 1)
+    flow = np.asarray(compute_clip_flow_sharded(frames, mesh,
+                                                of_algo="deepflow",
+                                                config=cfg))
+    assert flow.shape == (3, 32, 32, 2)
+    assert np.isfinite(flow).all()
