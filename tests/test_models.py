@@ -137,9 +137,9 @@ def test_clip_segmentor_tail_invariance(vit_t):
     per-frame (micro_batch=1) segmentation exactly."""
     model, variables = vit_t
     rng = np.random.default_rng(2)
-    for n in (1, 3, 5):
+    # n=1 < mb exercises the padded-short-clip path; n=3 the shifted tail
+    for n in (1, 3):
         clip = (rng.uniform(size=(n, 40, 40, 3)) * 255).astype(np.uint8)
         ref = make_clip_segmentor(model, variables, micro_batch=1)(clip)
-        for mb in (2, 4):
-            got = make_clip_segmentor(model, variables, micro_batch=mb)(clip)
-            np.testing.assert_array_equal(ref, got, err_msg=f"n={n} mb={mb}")
+        got = make_clip_segmentor(model, variables, micro_batch=2)(clip)
+        np.testing.assert_array_equal(ref, got, err_msg=f"n={n}")
