@@ -20,7 +20,7 @@ def test_deepflow_recovers_subpixel_shift(rng):
     img = _texture(rng)
     dx, dy = 0.8, -0.5
     shifted = ndimage.shift(img, (dy, dx), order=3, mode="nearest")
-    flow = np.asarray(deepflow_pairs(img[None], shifted[None], nscales=3,
+    flow = np.asarray(deepflow_pairs(img[None], shifted[None], nscales=2,
                                      zoom=0.5, iters=20, fp_iters=2,
                                      matching=False))[0]
     interior = flow[10:-10, 10:-10]

@@ -243,6 +243,7 @@ def test_process_folder_sharding_and_errors(tmp_path, rng):
     assert os.path.exists(tmp_path / "out" / "a.hdf5")
 
 
+@pytest.mark.slow
 def test_process_folder_write_failure_is_isolated(tmp_path, rng):
     """A failed HDF5 write on the write-behind thread must land in the
     error list under its source path (per-file isolation through

@@ -131,6 +131,7 @@ def test_vitdet_thd_depth_branch():
     assert out_off.shape == (4, 2, 2, 256)
 
 
+@pytest.mark.slow
 def test_clip_segmentor_tail_invariance(vit_t):
     """Labels are independent of micro-batch composition: the shifted
     tail batch and the shorter-than-one-batch path must reproduce the
