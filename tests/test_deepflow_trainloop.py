@@ -29,9 +29,11 @@ def test_deepflow_recovers_subpixel_shift(rng):
 
 
 def test_deepflow_zero_motion(rng):
-    img = _texture(rng, 48, 48)
+    # same shapes and solver statics as test_deepflow_clip_shape so the
+    # two tests share one compiled program (compile dominates on CPU CI)
+    img = _texture(rng, 32, 32)
     flow = np.asarray(deepflow_pairs(img[None], img[None], nscales=2,
-                                     zoom=0.5, iters=10, fp_iters=1,
+                                     zoom=0.5, iters=5, fp_iters=1,
                                      matching=False))[0]
     assert np.abs(flow).max() < 0.05
 
