@@ -80,9 +80,15 @@ class RelPosAttention(nn.Module):
 
 
 def _closest_factors(n: int) -> Tuple[int, int]:
-    """Factor pair (a, b), a <= b, a*b == n, closest to sqrt(n) — how the
-    reference lays the depth axis out as a 2D grid for the shared window
-    attention (image_encoder.py:214-218, utils closest_numbers)."""
+    """Factor pair (a, b), a <= b, a*b == n, closest to sqrt(n).
+
+    Intentional divergence from the reference's ``closest_numbers``
+    (image_encoder.py:424-433), which starts its search at (a, a+1) and so
+    never returns a square pair — e.g. it gives (1, 4) for 4 and (2, 8)
+    for 16 where this returns (2, 2) and (4, 4). The squarer grid gives
+    the depth-attention rel-pos bias a more isotropic geometry; it means
+    thd checkpoints trained with the reference grid are NOT
+    weight-compatible on this branch (see NOTES.md divergences)."""
     a = int(np.sqrt(n))
     while n % a:
         a -= 1
@@ -111,13 +117,19 @@ class Block(nn.Module):
                                dtype=self.dtype, name="attn")
 
         if self.thd:
-            # 3D (thd) branch, reference image_encoder.py:211-231: attend
-            # over the depth/slice axis independently at every spatial
-            # location, reusing the *same* attention weights by arranging
-            # the chunk of `d` slices as a near-square dh x dw grid; a
-            # no-skip Depth Adapter projects the result before it is added
-            # to the spatial attention output. The leading axis is (b d):
-            # a batch of b volumes chunked into d slices each.
+            # 3D (thd) branch, after reference image_encoder.py:211-231:
+            # attend over the depth/slice axis independently at every
+            # spatial location, reusing the *same* attention weights by
+            # arranging the chunk of `d` slices as a near-square dh x dw
+            # grid; a no-skip Depth Adapter projects the result before it
+            # is added to the spatial attention output. The leading axis
+            # is (b d): a batch of b volumes chunked into d slices each.
+            # Intentional divergence: for windowed blocks the reference
+            # depth-attends the window-partitioned tensor (mixing depth
+            # with window index in its einops split); here depth attention
+            # always sees the full pre-partition feature map, which keeps
+            # "depth" meaning depth at every spatial location. See
+            # NOTES.md divergences.
             d = self.chunk
             if d <= 0 or b % d:
                 raise ValueError(

@@ -57,9 +57,14 @@ def detect_r_peaks(ecg: np.ndarray, sampling_rate: float,
     # energy in the 4-45 Hz passband; a constant or slowly drifting lead
     # leaves only filter residue there (~machine epsilon), and the
     # relative threshold below would then "detect" beats in pure noise.
+    # The relative cut is 0.1% (not 1%): a lead with extreme baseline
+    # wander or a large DC step can legitimately carry <1% of its total
+    # RMS in-band while the QRS complexes are still cleanly isolated —
+    # only true filter residue sits orders of magnitude below the raw
+    # signal.
     rms_in_band = float(np.sqrt(np.mean(cleaned ** 2)))
     rms_total = float(np.sqrt(np.mean((ecg - ecg.mean()) ** 2)))
-    if rms_in_band < max(0.01 * rms_total, 1e-10):
+    if rms_in_band < max(1e-3 * rms_total, 1e-10):
         return np.array([], dtype=np.int64)
 
     deriv = np.gradient(cleaned)
@@ -68,7 +73,13 @@ def detect_r_peaks(ecg: np.ndarray, sampling_rate: float,
     kernel = np.ones(win) / win
     energy = np.convolve(squared, kernel, mode="same")
 
-    thresh = energy.mean() + 0.5 * energy.std()
+    # threshold statistics are computed on energy clipped at its 99th
+    # percentile: a single broadband transient (lead reconnection, DC
+    # step) otherwise inflates mean and std enough to mask every real
+    # QRS; on a clean trace the clip only shaves the very tips of the
+    # QRS energy bursts and barely moves the threshold.
+    e_clip = np.minimum(energy, np.percentile(energy, 99))
+    thresh = e_clip.mean() + 0.5 * e_clip.std()
     above = energy > thresh
 
     # group contiguous above-threshold regions; one beat per region

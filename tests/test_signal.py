@@ -129,6 +129,19 @@ def test_r_peak_detection_flat_lead():
         assert peaks.size == 0, peaks
 
 
+def test_r_peak_detection_survives_extreme_wander(rng):
+    """A lead dominated by baseline wander (in-band energy ~0.3% of the
+    total RMS — under the round-2 guard's 1% cut) must still yield the
+    beats the cleaner isolates; the flat-lead guard only rejects true
+    filter residue (ADVICE round 2, signal/ecg.py guard threshold)."""
+    ecg, truth = _synthetic_ecg(rng=rng)
+    t = np.arange(ecg.size) / 500.0
+    wander = 60.0 * np.abs(ecg).max() * np.sin(2 * np.pi * 0.25 * t)
+    peaks = detect_r_peaks(ecg + wander, 500)
+    assert peaks.size == truth.size
+    assert np.all(np.min(np.abs(peaks[:, None] - truth[None, :]), axis=1) < 15)
+
+
 def test_r_peak_detection_inverted_qrs(rng):
     """Lead inversion (negative R deflections) must find the same beats:
     the detector squares the derivative and refines on |amplitude|."""
