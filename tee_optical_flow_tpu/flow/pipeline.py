@@ -263,20 +263,18 @@ def process_video(dcm_path: str, save_path: str,
         # unit conversion (:600) and the schema storage dtype (float16,
         # io/hdf5.py) applied on device: the device->host link moves
         # ~30 MB/s here, so halving the bytes halves the transfer; both
-        # DMAs start async so they overlap each other
+        # DMAs start async, and materialization happens inside the write
+        # closure — with a write-behind writer that means the ~2 s of
+        # device->host transfer overlaps the NEXT clip's device compute
+        # instead of serializing after this clip's
         flow_dev = (flow_pairs *
                     jnp.float32(conversion_factor)).astype(jnp.float16)
         echo_dev = jnp.asarray(gray, jnp.float16)
         try:
             for arr in (flow_dev, echo_dev):
                 arr.copy_to_host_async()
-        except Exception:  # backend without async host copies: block below
+        except Exception:  # backend without async host copies: block in _write
             pass
-        flow_pairs = np.asarray(flow_dev)
-        echo_gray = np.asarray(echo_dev)
-
-    # duplicate last flow frame to clip length (:599)
-    flow_arr = np.concatenate([flow_pairs, flow_pairs[-1:]], axis=0)
 
     # --- waveforms (host) ---
     waveform_results: Dict = {}
@@ -302,6 +300,14 @@ def process_video(dcm_path: str, save_path: str,
     include_wf = include_waveforms
 
     def _write() -> None:
+        # device->host materialization lives here so the writer thread
+        # pays for it (the DMAs above were already started async); a
+        # failed transfer surfaces as this file's write error, keeping
+        # per-file isolation (reference calculate_optical_flow.py:276-284)
+        flow_host = np.asarray(flow_dev)
+        echo_gray = np.asarray(echo_dev)
+        # duplicate last flow frame to clip length (:599)
+        flow_arr = np.concatenate([flow_host, flow_host[-1:]], axis=0)
         save_optical_flow_hdf5(
             save_path, flow_arr, echo_gray, mask_dict,
             {**metadata, "nframes": nframes},
