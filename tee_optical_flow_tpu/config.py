@@ -238,6 +238,15 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     # finest-level displacement bound of the gather-free shift warp
     deepflow_fp_iterations: int = 3
     deepflow_max_displacement: int = 16
+    # clip-shape bucketing (core.py; SURVEY §7 "ragged clip shapes"):
+    # pad N to a multiple of frame_bucket (last-frame repeats — exact,
+    # sliced off on output) and the flow solver's H/W to multiples of
+    # spatial_bucket (edge-replicate; boundary band only) so ragged
+    # DICOM cohorts compile once per bucket, not once per shape
+    # (~67-90 s each, NOTES.md)
+    bucket_shapes: bool = True
+    frame_bucket: int = 8
+    spatial_bucket: int = 32
 
 
 # ---------------------------------------------------------------------------
@@ -255,9 +264,11 @@ class DeviceConfig(_JsonMixin):
     compute_dtype: str = "float32"   # flow solver precision
     model_dtype: str = "bfloat16"    # SAM inference precision
     param_dtype: str = "float32"
-    # clip-shape bucketing to bound jit recompiles (ragged DICOM shapes)
+    # clip-shape bucketing for generic device programs; the flow pipeline
+    # reads the equivalently-named knobs on OpticalFlowCalculationConfig
+    # (core.py documents the policy)
     frame_bucket: int = 8            # pad clip length to a multiple of this
-    spatial_bucket: int = 128        # pad H/W to a multiple of this
+    spatial_bucket: int = 32         # pad H/W to a multiple of this
     donate_buffers: bool = True
 
 

@@ -33,6 +33,10 @@ import numpy as np
 from ..config import (
     OpticalFlowCalculationConfig, default_optical_flow_config,
 )
+from ..core import (
+    bucketed_frame_count, bucketed_spatial, pad_clip_frames,
+    pad_spatial_edge,
+)
 from ..exceptions import ConfigurationError, OpticalFlowCalculationError
 from ..io.dicom import extract_metadata, read_dicom_clip
 from ..io.hdf5 import save_optical_flow_hdf5
@@ -67,14 +71,27 @@ def _wase_background(flow_pairs: jnp.ndarray, bkgd_stack: jnp.ndarray) -> jnp.nd
 def compute_clip_flow(images: jnp.ndarray, of_algo: str = "TVL1",
                       config: Optional[OpticalFlowCalculationConfig] = None
                       ) -> jnp.ndarray:
-    """(N, H, W) flow-input images -> (N-1, H, W, 2) flow, on device."""
+    """(N, H, W) flow-input images -> (N-1, H, W, 2) flow, on device.
+
+    With ``config.bucket_shapes`` the solve runs at the spatial bucket
+    shape (edge-replicate pad, core.py policy) and the padding is sliced
+    off the returned flow, so ragged cohorts share one solver compile
+    per bucket."""
     config = config or default_optical_flow_config()
     algo = of_algo.lower()
+    if algo not in ("tvl1", "deepflow"):
+        raise OpticalFlowCalculationError(
+            "OF_algo only supports deepflow or TVL1")
+    images = jnp.asarray(images)
+    n, h, w = images.shape
+    if config.bucket_shapes and config.spatial_bucket > 1:
+        hb, wb = bucketed_spatial(h, w, config.spatial_bucket)
+        images = pad_spatial_edge(images, hb, wb)
     if algo == "tvl1":
-        return tvl1_clip_flow(images, config=config)
-    if algo == "deepflow":
-        return deepflow_clip_flow(images, config=config)
-    raise OpticalFlowCalculationError("OF_algo only supports deepflow or TVL1")
+        flow = tvl1_clip_flow(images, config=config)
+    else:
+        flow = deepflow_clip_flow(images, config=config)
+    return flow[:, :h, :w, :]
 
 
 def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
@@ -92,6 +109,10 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
 
     config = config or default_optical_flow_config()
     images = jnp.asarray(images)
+    h, w = images.shape[-2:]
+    if config.bucket_shapes and config.spatial_bucket > 1:
+        hb, wb = bucketed_spatial(h, w, config.spatial_bucket)
+        images = pad_spatial_edge(images, hb, wb)
     i0 = images[:-1]
     i1 = images[1:]
     n_pairs = i0.shape[0]
@@ -128,7 +149,7 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               beta=config.deepflow_beta,
                               fp_iters=config.deepflow_fp_iterations,
                               max_disp=config.deepflow_max_displacement)
-    return flow[:n_pairs]
+    return flow[:n_pairs, :h, :w, :]
 
 
 class AsyncHDF5Writer:
@@ -232,6 +253,12 @@ def process_video(dcm_path: str, save_path: str,
     if verbose:
         logger.info("Pixel data obtained, of shape: %s", nparr.shape)
 
+    # frame-axis bucketing (core.py): last-frame repeats are exact for
+    # every real frame's masks and flow; sliced off below
+    if config.bucket_shapes and config.frame_bucket > 1:
+        nparr = pad_clip_frames(
+            nparr, bucketed_frame_count(nframes, config.frame_bucket))
+
     # --- masks (device, batched) ---
     with trace_stage("segmentation"):
         if mode in ("A4C", "RVIO_2class", "MouseRV_A4C"):
@@ -244,6 +271,8 @@ def process_video(dcm_path: str, save_path: str,
         else:
             raise ConfigurationError(
                 f"Input for mode must be [A4C, otsu, RVIO_2class, MouseRV_A4C], not {mode}.")
+        if nparr.shape[0] != nframes:  # drop frame-bucket padding
+            mask_dict = {k: v[:nframes] for k, v in mask_dict.items()}
 
     # --- flow input prep (device, batched over frames) ---
     with trace_stage("flow_input_prep"):
@@ -256,7 +285,10 @@ def process_video(dcm_path: str, save_path: str,
 
     # --- flow (device, all pairs at once) ---
     with trace_stage("optical_flow"):
-        flow_pairs = compute_clip_flow(images, OF_algo, config)
+        # padded (last, last) pairs solve to zero flow; slice them (and
+        # the padded echo frames) off before WASE sees the arrays
+        flow_pairs = compute_clip_flow(images, OF_algo, config)[:nframes - 1]
+        gray = gray[:nframes]
         if bkgd_comp == "WASE":
             flow_pairs = _wase_background(
                 flow_pairs, jnp.asarray(mask_dict["bkgd"]))

@@ -16,6 +16,7 @@ def _texture(rng, h=64, w=64, smooth=3.0):
     return (img * 255.0).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_deepflow_recovers_subpixel_shift(rng):
     img = _texture(rng)
     dx, dy = 0.8, -0.5
@@ -29,12 +30,14 @@ def test_deepflow_recovers_subpixel_shift(rng):
 
 
 def test_deepflow_zero_motion(rng):
-    # same shapes and solver statics as test_deepflow_clip_shape so the
-    # two tests share one compiled program (compile dominates on CPU CI)
+    # same shapes (incl. batch=2) and solver statics as
+    # test_deepflow_clip_shape so the two tests share one compiled
+    # program (compile dominates on CPU CI)
     img = _texture(rng, 32, 32)
-    flow = np.asarray(deepflow_pairs(img[None], img[None], nscales=2,
+    pair = np.stack([img, img])
+    flow = np.asarray(deepflow_pairs(pair, pair, nscales=2,
                                      zoom=0.5, iters=5, fp_iters=1,
-                                     matching=False))[0]
+                                     matching=False))
     assert np.abs(flow).max() < 0.05
 
 
