@@ -1,39 +1,53 @@
 """Headline benchmarks on one TPU chip. Prints one JSON line per metric;
 the LAST line is the driver's headline metric.
 
-Metric 1 (context line): DICOM->HDF5 steady-state clip wall-clock — the
-BASELINE.md "clip wall-clock" metric. Drives the real production path
-(`process_video` via the in-memory clip override: otsu masks, full-
-settings TV-L1 flow, unit conversion, gzip-9 schema HDF5 write) with the
-same one-deep write-behind `process_folder` uses, measured after a warm-up
-clip so compile time is excluded. The value is the steady-state inter-clip
-interval (what a long cohort run pays per clip: max(compute, write), the
-final drain amortizing away). ``vs_baseline`` is null: the reference's
-`process_video` needs cv2.optflow/CUDA, neither installable in this
-environment (cv2 5.0.0 without contrib; no package installs). For scale:
-the reference's CPU flow alone at the measured 0.0611 frames/s would take
-~9 min/clip before masks or I/O.
+Covers all five BASELINE.md configs (BASELINE.json:6-12) plus context
+lines; emission order:
 
-Metric 2 (headline, parsed by the driver): dense TV-L1 flow frames/s/chip
-at native TEE resolution (480x640), OpenCV-default solver settings
-(5 scales @0.8, 5 warps, 10x30 primal-dual iterations, lambda 0.15, 5x5
-flow median), all frame pairs batched, Pallas fused inner loop.
+  1. dicom_decode_seconds — the from-scratch parser + native RLE decode
+     on a synthesized 33f 480x640 RLE DICOM (io/dicom_write.py): the
+     decode leg the e2e metric includes.
+  2. dicom_to_hdf5_clip_seconds_steady_state_33f_480x640 — BASELINE
+     config 1: real RLE DICOM file -> otsu masks -> full-settings TV-L1
+     -> gzip-9 schema HDF5 with the production write-behind, measured as
+     the steady-state inter-clip interval after a warm-up clip. Since
+     round 3 this drives the REAL file path (decode included), not an
+     in-memory override.
+  3. sam_tvl1_clip_seconds_steady_state_33f_480x640 — BASELINE config 3:
+     SAM vit_t (bf16, micro-batch 16, random-init weights — the cost is
+     architecture-bound) RVIO_2class segmentation at 1024^2 + TV-L1
+     masked flow, same e2e path.
+  4. gated_radlong_analysis_seconds_per_clip — BASELINE config 4: one
+     HDF5 -> ECG- and arterial-gated cardiac cycles -> total + radial/
+     longitudinal peak statistics -> the 69-value cohort row, plots
+     included (the reference cohort loop's per-file work,
+     analyze_optical_flow.py:1397-1499).
+  5. batch_wase_saliency_seconds_per_clip — BASELINE config 5: 4-clip
+     process_folder with WASE background compensation + fine-grained
+     saliency, nchunks=2 driven serially like the reference CLI,
+     amortized s/clip.
+  6. deepflow_frames_per_sec_per_chip_480x640 — BASELINE config 2.
+  7. tvl1_flow_frames_per_sec_per_chip_480x640 — the headline (last
+     line): dense TV-L1 at OpenCV-default settings (5 scales @0.8,
+     5 warps, 10x30 iterations, lambda .15, 5x5 median), all pairs
+     batched, Pallas fused inner loop.
 
 ``vs_baseline`` provenance (honest label): it divides by THIS solver
 compiled via XLA on one CPU core of this host — 0.0564 frames/s
-(re-measured 2026-08-17 with the current solver; re-measure with
-``python bench.py --measure-cpu``).
-OpenCV-CPU DualTVL1 itself is NOT installable here, so the named
-BASELINE.md row 2 baseline is unmeasured (``opencv_cpu_fps: null``);
-single-threaded OpenCV DualTVL1 at VGA is ~0.5-2 s/frame in the
-literature, so dividing by 0.0611 is the same algorithm-and-settings
-class and conservative. Accuracy against the reference algorithm is
-covered separately by EPE_r02.json (epe_report.py, IPOL oracle).
+(re-measure with ``python bench.py --measure-cpu``). OpenCV-CPU DualTVL1
+itself is NOT installable here (cv2 5.0.0 without contrib, no package
+installs), so the named BASELINE.md row-2 baseline is unmeasured
+(``opencv_cpu_fps: null``); single-threaded OpenCV DualTVL1 at VGA is
+~0.5-2 s/frame in the literature, so dividing by 0.0564 is the same
+algorithm-and-settings class and conservative. Accuracy against the
+reference algorithms is covered separately by EPE_r03.json
+(epe_report.py: IPOL TV-L1 + Brox/DeepFlow float64 oracles).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -44,10 +58,19 @@ import numpy as np
 RECORDED_CPU_BASELINE_FPS = 0.0564
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
+NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
+                   "torch; no package installs)")
 
 SOLVER_PARAMS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
                      warps=5, outer_iters=10, inner_iters=30,
                      use_median=True, max_disp=16)
+
+WAVEFORM_FIXTURES = "/root/reference/test_data/waveforms"
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline, **extra}), flush=True)
 
 
 def _make_clip(n: int, h: int, w: int) -> np.ndarray:
@@ -63,6 +86,21 @@ def _make_clip(n: int, h: int, w: int) -> np.ndarray:
         frames[i] = base[8 + dy:8 + dy + h, 8 + dx:8 + dx + w]
     lo, hi = frames.min(), frames.max()
     return (frames - lo) / (hi - lo) * 255.0
+
+
+def _write_fixture_dicom(path: str, n: int, h: int, w: int, seed: int = 0):
+    """Synthesize a valid RLE-encapsulated multi-frame DICOM (the decode
+    leg's input; black side bands exercise the replicate runs)."""
+    from tee_optical_flow_tpu.io.dicom_write import write_dicom_clip
+
+    gray = _make_clip(n, h, w).astype(np.uint8)
+    if seed:
+        gray = np.roll(gray, seed, axis=2)
+    clip = np.repeat(gray[..., None], 3, axis=-1)
+    clip[:, :, :w // 8] = 0
+    clip[:, :, -w // 8:] = 0
+    write_dicom_clip(path, clip, frame_rate=30, pixel_spacing=0.05,
+                     transfer_syntax="rle")
 
 
 def _measure(frames: np.ndarray, reps: int, use_pallas: bool) -> float:
@@ -81,52 +119,72 @@ def _measure(frames: np.ndarray, reps: int, use_pallas: bool) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def _measure_clip_e2e(on_tpu: bool) -> float:
-    """Steady-state seconds per clip: DICOM-shaped in-memory clip ->
-    otsu masks -> full-settings TV-L1 -> gzip-9 HDF5, write-behind
-    enabled exactly as in process_folder."""
-    import os
+def _steady_state_clip_seconds(dcm_path: str, tmp: str, tag: str, reps: int,
+                               **pv_kwargs) -> float:
+    """Steady-state inter-clip interval of the production path: with the
+    one-deep write-behind, a long cohort run costs max(compute, write)
+    per clip (submit blocks on write backpressure); the final drain
+    amortizes away. reps+1 clips give `reps` intervals; a warm-up clip
+    first excludes compiles."""
+    from tee_optical_flow_tpu.flow.pipeline import AsyncHDF5Writer, process_video
 
-    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
-    from tee_optical_flow_tpu.flow.pipeline import (
-        AsyncHDF5Writer, process_video,
-    )
+    def run(i: int, writer) -> None:
+        process_video(dcm_path, os.path.join(tmp, f"{tag}{i}.hdf5"),
+                      verbose=False, _writer=writer, **pv_kwargs)
 
-    n, h, w = (33, 480, 640) if on_tpu else (5, 96, 128)
-    gray = _make_clip(n, h, w)
-    clip = np.repeat(gray[..., None].astype(np.uint8), 3, axis=-1)
-    metadata = {"pixel_spacing": 0.05, "frame_rate": 30.0,
-                "R_times": None, "R_wave_data_present": False}
-    cfg = OpticalFlowCalculationConfig(tvl1_use_pallas=on_tpu)
-    reps = 5 if on_tpu else 1
+    warm = AsyncHDF5Writer()
+    run(99, warm)
+    assert not warm.close(), "warm-up clip failed"
 
-    with tempfile.TemporaryDirectory() as tmp:
-        def run(tag: str, writer) -> None:
-            process_video(
-                f"bench_{tag}.dcm", os.path.join(tmp, f"{tag}.hdf5"),
-                None, verbose=False, mode="otsu", no_saliency=True,
-                OF_algo="TVL1", include_waveforms=False, config=cfg,
-                _clip_override=clip, _metadata_override=metadata,
-                _writer=writer)
+    writer = AsyncHDF5Writer()
+    marks = [time.perf_counter()]
+    for i in range(reps + 1):
+        run(i, writer)
+        marks.append(time.perf_counter())
+    failures = writer.close()
+    assert not failures, f"bench clip writes failed: {failures}"
+    return (marks[-1] - marks[1]) / reps
 
-        warm = AsyncHDF5Writer()
-        run("warm", warm)  # cold: compiles every stage
-        assert not warm.close(), "warm-up clip failed"
 
-        writer = AsyncHDF5Writer()
-        # steady state = inter-clip submit interval: with the one-deep
-        # write-behind, a long cohort run costs max(compute, write) per
-        # clip (submit blocks on write backpressure), plus one final
-        # drain that amortizes away over the run. reps+1 clips give
-        # `reps` intervals.
-        marks = []
-        for i in range(reps + 1):
-            run(f"steady{i}", writer)
-            marks.append(time.perf_counter())
-        failures = writer.close()
-        assert not failures, f"bench clip writes failed: {failures}"
-        dt = (marks[-1] - marks[0]) / reps
-    return dt
+def _make_analysis_hdf5(path: str, n: int, h: int, w: int) -> None:
+    """Synthesize a well-formed RVIO_2class HDF5 for the gated-analysis
+    config: speckle echo, smooth flow, rv ring + av blob masks, real ECG
+    fixture lead (when present) + synthetic arterial trace."""
+    from tee_optical_flow_tpu.io.hdf5 import save_optical_flow_hdf5
+
+    rng = np.random.default_rng(7)
+    echo = _make_clip(n, h, w)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = 0.55 * h, 0.5 * w
+    r = np.hypot((yy - cy) / (0.28 * h), (xx - cx) / (0.22 * w))
+    phase = np.sin(2 * np.pi * np.arange(n) / 12.0)  # ~2.75 beats
+    flow = np.empty((n, h, w, 2), np.float32)
+    for i in range(n):  # radial pulsation about the cavity center
+        flow[i, ..., 0] = -0.04 * phase[i] * (xx - cx)
+        flow[i, ..., 1] = -0.04 * phase[i] * (yy - cy)
+    rv = ((r > 0.75) & (r < 1.3)).astype(np.uint8)
+    av = (np.hypot(yy - (cy + 0.3 * h), xx - cx) < 0.06 * h).astype(np.uint8)
+    masks = {
+        "rv": np.repeat(rv[None, :, :, None], n, 0).repeat(2, 3),
+        "av": np.repeat(av[None, :, :, None], n, 0).repeat(2, 3),
+    }
+    ecg_path = os.path.join(WAVEFORM_FIXTURES, "stanford_RVIO_49_2_II.npy")
+    if os.path.exists(ecg_path):
+        ecg = np.load(ecg_path)
+    else:
+        t = np.arange(int(500 * n / 30.0)) / 500.0
+        ecg = np.sin(2 * np.pi * 1.3 * t) ** 21
+    t_art = np.arange(int(125 * n / 30.0)) / 125.0
+    art = 80 + 20 * np.clip(np.sin(2 * np.pi * 1.3 * t_art), 0, None)
+    waveforms = {"ecg": (True, ecg), "art": (True, art),
+                 "cvp": (False, None), "pap": (False, None)}
+    meta = {"frame_rate": 30.0, "pixel_spacing": 0.05,
+            "R_wave_data_present": True,
+            "R_times": np.array([100.0, 870.0]), "nframes": n}
+    save_optical_flow_hdf5(path, flow, echo, masks, meta, waveforms,
+                           mode="RVIO_2class", no_saliency=True,
+                           include_waveforms=True, patient_id="BENCH",
+                           heart_rate=78)
 
 
 def main() -> None:
@@ -137,58 +195,139 @@ def main() -> None:
     if "--measure-cpu" in sys.argv:
         clip = _make_clip(3, h, w)
         dt = _measure(clip, reps=1, use_pallas=False)
-        print(json.dumps({"metric": "tvl1_cpu_baseline_fps",
-                          "value": round(2 / dt, 4), "unit": "frames/s",
-                          "vs_baseline": None}))
+        emit("tvl1_cpu_baseline_fps", round(2 / dt, 4), "frames/s")
         return
 
-    clip_seconds = _measure_clip_e2e(on_tpu)
-    print(json.dumps({
-        "metric": "dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"
-                  if on_tpu else "dicom_to_hdf5_clip_seconds_cpu_smoke",
-        "value": round(clip_seconds, 2),
-        "unit": "s/clip",
-        "vs_baseline": None,
-        "baseline": "reference process_video unmeasurable here "
-                    "(needs cv2.optflow/CUDA); its CPU flow alone would be "
-                    "~570 s/clip at the recorded 0.0564 frames/s",
-    }), flush=True)
+    n_clip = 33 if on_tpu else 5
+    ch, cw = (h, w) if on_tpu else (96, 128)
+    reps = 3 if on_tpu else 1
 
-    if on_tpu:
-        # context line: the DeepFlow backend at the same resolution
-        import jax.numpy as jnp
+    with tempfile.TemporaryDirectory() as tmp:
+        dcm_path = os.path.join(tmp, "bench.dcm")
+        _write_fixture_dicom(dcm_path, n_clip, ch, cw)
 
-        from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+        # --- context: the DICOM decode leg on its own ---
+        from tee_optical_flow_tpu.io.dicom import read_dicom_clip
 
-        frames = _make_clip(17, h, w)
-        df0, df1 = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
-        flow = deepflow_pairs(df0, df1)
-        float(jnp.sum(jnp.abs(flow)))  # compile + warm
+        read_dicom_clip(dcm_path)  # warm page cache / native lib
         t0 = time.perf_counter()
         for _ in range(3):
-            flow = deepflow_pairs(df0, df1)
-            float(jnp.sum(jnp.abs(flow)))
-        df_fps = 16 * 3 / (time.perf_counter() - t0)
-        print(json.dumps({
-            "metric": "deepflow_frames_per_sec_per_chip_480x640",
-            "value": round(df_fps, 3), "unit": "frames/s",
-            "vs_baseline": None,
-            "baseline": "OpenCV-CPU DeepFlow not installable here",
-        }), flush=True)
+            read_dicom_clip(dcm_path)
+        emit("dicom_decode_seconds", round((time.perf_counter() - t0) / 3, 3),
+             "s/clip", baseline="pydicom+GDCM path not installed here",
+             note="native RLE decode (dicomlite.cpp) of the 33f 480x640 "
+                  "fixture; included in the e2e clip metrics below")
 
+        # --- BASELINE config 1: otsu + TVL1, full e2e incl. decode ---
+        from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+
+        cfg = OpticalFlowCalculationConfig(tvl1_use_pallas=on_tpu)
+        dt = _steady_state_clip_seconds(
+            dcm_path, tmp, "otsu", reps, mode="otsu", no_saliency=True,
+            OF_algo="TVL1", include_waveforms=False, config=cfg)
+        emit("dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"
+             if on_tpu else "dicom_to_hdf5_clip_seconds_cpu_smoke",
+             round(dt, 2), "s/clip", baseline=NO_REF_BASELINE + "; its CPU "
+             "flow alone would be ~570 s/clip at the recorded 0.0564 "
+             "frames/s",
+             note=f"real RLE DICOM file path (decode leg included); "
+                  f"frame-bucketed {n_clip}->"
+                  f"{-(-n_clip // cfg.frame_bucket) * cfg.frame_bucket} "
+                  f"frames")
+
+        if on_tpu:
+            # --- BASELINE config 3: SAM vit_t + TVL1 masked flow ---
+            import jax.numpy as jnp
+
+            from tee_optical_flow_tpu.models.registry import sam_model_registry
+            from tee_optical_flow_tpu.models.sam import make_clip_segmentor
+
+            model, variables = sam_model_registry["vit_t"](
+                num_classes=3, dtype=jnp.bfloat16)
+            segmentor = make_clip_segmentor(model, variables, micro_batch=16)
+            dt = _steady_state_clip_seconds(
+                dcm_path, tmp, "sam", reps, segmentor_model=segmentor,
+                mode="RVIO_2class", no_saliency=True, OF_algo="TVL1",
+                include_waveforms=False, config=cfg)
+            emit("sam_tvl1_clip_seconds_steady_state_33f_480x640",
+                 round(dt, 2), "s/clip", baseline=NO_REF_BASELINE,
+                 note="vit_t bf16 micro-batch 16 at 1024^2, random-init "
+                      "weights (architecture-bound cost), RVIO_2class "
+                      "masks + full-settings TV-L1")
+
+            # --- BASELINE config 4: full gated radlong analysis ---
+            from tee_optical_flow_tpu.batch.cohort import analyze_cohort_file
+
+            h5_path = os.path.join(tmp, "analysis.hdf5")
+            _make_analysis_hdf5(h5_path, n_clip, ch, cw)
+            row = analyze_cohort_file(h5_path,
+                                      save_dir=os.path.join(tmp, "warm"))
+            assert len(row) == 69, len(row)
+            t0 = time.perf_counter()
+            for i in range(reps):
+                analyze_cohort_file(h5_path,
+                                    save_dir=os.path.join(tmp, f"a{i}"))
+            emit("gated_radlong_analysis_seconds_per_clip",
+                 round((time.perf_counter() - t0) / reps, 2), "s/clip",
+                 baseline=NO_REF_BASELINE,
+                 note="HDF5 -> ECG+arterial gating -> total + radlong "
+                      "peak stats + plots -> 69-value cohort row "
+                      "(reference analyze_optical_flow.py:1397-1499)")
+
+            # --- BASELINE config 5: batch, WASE + saliency, nchunks=2 ---
+            from tee_optical_flow_tpu.flow.pipeline import process_folder
+
+            dcm_dir = os.path.join(tmp, "cohort")
+            os.makedirs(dcm_dir)
+            for i in range(4):
+                _write_fixture_dicom(os.path.join(dcm_dir, f"c{i}.dcm"),
+                                     n_clip, ch, cw, seed=i)
+            save_dir = os.path.join(tmp, "cohort_warm")
+            errs = process_folder(  # warm-up: compiles the saliency path
+                dcm_dir, save_dir, segmentor_model=segmentor, nchunks=4,
+                chunk_index=0, mode="RVIO_2class", bkgd_comp="WASE",
+                no_saliency=False, OF_algo="TVL1", include_waveforms=False,
+                config=cfg)
+            assert not errs, errs
+            save_dir = os.path.join(tmp, "cohort_out")
+            t0 = time.perf_counter()
+            for chunk in range(2):  # reference CLI drives chunks serially
+                errs = process_folder(
+                    dcm_dir, save_dir, segmentor_model=segmentor, nchunks=2,
+                    chunk_index=chunk, mode="RVIO_2class", bkgd_comp="WASE",
+                    no_saliency=False, OF_algo="TVL1",
+                    include_waveforms=False, config=cfg)
+                assert not errs, errs
+            emit("batch_wase_saliency_seconds_per_clip",
+                 round((time.perf_counter() - t0) / 4, 2), "s/clip",
+                 baseline=NO_REF_BASELINE,
+                 note="4-clip process_folder, SAM masks + WASE bkgd "
+                      "compensation + fine-grained saliency, nchunks=2 "
+                      "serial, amortized")
+
+            # --- BASELINE config 2: DeepFlow backend ---
+            from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+
+            frames = _make_clip(17, h, w)
+            df0, df1 = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
+            flow = deepflow_pairs(df0, df1)
+            float(jnp.sum(jnp.abs(flow)))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(3):
+                flow = deepflow_pairs(df0, df1)
+                float(jnp.sum(jnp.abs(flow)))
+            emit("deepflow_frames_per_sec_per_chip_480x640",
+                 round(16 * 3 / (time.perf_counter() - t0), 3), "frames/s",
+                 baseline="OpenCV-CPU DeepFlow not installable here")
+
+    # --- headline (last line): TV-L1 frames/s/chip ---
     n_frames = 17 if on_tpu else 3
     frames = _make_clip(n_frames, h, w)
     dt = _measure(frames, reps=3 if on_tpu else 1, use_pallas=on_tpu)
     fps = (n_frames - 1) / dt
-
-    print(json.dumps({
-        "metric": "tvl1_flow_frames_per_sec_per_chip_480x640",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / RECORDED_CPU_BASELINE_FPS, 1),
-        "baseline": BASELINE_PROVENANCE,
-        "opencv_cpu_fps": None,
-    }))
+    emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),
+         "frames/s", vs_baseline=round(fps / RECORDED_CPU_BASELINE_FPS, 1),
+         baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None)
 
 
 if __name__ == "__main__":

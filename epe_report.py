@@ -1,28 +1,39 @@
-"""EPE report: the jitted TV-L1 solver vs the plain-NumPy IPOL oracle.
+"""EPE report: the jitted solvers vs the plain-NumPy float64 oracles.
 
 Measures the BASELINE.md north star ("flow EPE < 0.1 px vs reference") at
-the production resolution (480x640) with the reference solver settings
-(OpenCV DualTVL1 defaults, lambda=0.15 — reference
-calculate_optical_flow.py:577-578). The oracle
-(tee_optical_flow_tpu/ops/tvl1_oracle.py) is a faithful double-precision
-implementation of Sánchez et al., IPOL 2013 — the published algorithm
-OpenCV implements — with OpenCV's outer/inner split and 5x5 flow median;
-epsilon stopping is disabled on both sides so iteration counts match
-exactly and the comparison is algorithm-vs-algorithm, not
-schedule-vs-schedule.
+the production resolution (480x640) with the reference solver settings:
 
-Two content classes, a few pairs each:
-- "textured": smoothed speckle with known global shifts (the bench.py
-  clip generator's class);
+- TV-L1 vs the IPOL oracle (ops/tvl1_oracle.py — Sánchez et al., IPOL
+  2013, the published algorithm OpenCV implements, with OpenCV's
+  outer/inner split and 5x5 flow median; epsilon stopping disabled on
+  both sides so iteration counts match exactly);
+- DeepFlow vs the Brox/DeepFlow oracle (ops/deepflow_oracle.py —
+  Brox et al. 2004 energy + Weinzaepfel 2013 matching term, red-black
+  SOR numerics), matching disabled on both sides (the matcher is pinned
+  separately by ground-truth displacement tests).
+
+Two content classes, a few pairs each (tee_optical_flow_tpu/synthetic.py):
+- "textured": smoothed speckle with known global shifts;
 - "echo": synthetic TEE-like sector images — dark background, fan mask,
   speckled myocardial ring contracting radially a few px/frame.
 
-Border rows/cols (8 px band) are reported separately: the bilinear
+Masked reporting (round 3): for echo content the report also gives
+sector- and wall-masked percentiles. Diagnosis of the round-2 tail
+(p99 0.29 px on echo_1) located 68% of the worst-1% pixels OUTSIDE the
+sector (pure black: the data term vanishes, both solvers return
+smoothness diffusion with different discretizations) and the rest in the
+near-zero-signal cavity; ZERO in the myocardial wall (wall p99 0.105 px,
+sector p95 0.096 px). The pipeline's masked analysis reads flow only
+inside segmentation masks, so the masked numbers are the ones the
+product consumes; the unmasked interior numbers are kept for
+comparability with EPE_r02.
+
+Border rows/cols (8 px band) are excluded as before: the bilinear
 shift-decomposition warp and the oracle's bicubic clamp diverge there by
 construction, and the pipeline's masked analysis never consumes them.
 
-Writes EPE_r{N}.json (default EPE_r02.json). Runtime: minutes per pair
-(the oracle is sequential NumPy); run in the background.
+Writes EPE_r{N}.json (default EPE_r03.json). Runtime: minutes per pair
+(the oracles are sequential NumPy); run in the background.
 """
 
 from __future__ import annotations
@@ -33,63 +44,32 @@ import time
 
 import numpy as np
 
+from tee_optical_flow_tpu.synthetic import (
+    echo_sector_masks, make_echo_pair, make_textured_pair,
+)
+
 SETTINGS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
                 warps=5, outer_iters=10, inner_iters=30)
+DF_SETTINGS = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5)
+
+INTERIOR = 8  # px border band excluded everywhere
 
 
-def make_textured_pair(seed: int, h: int, w: int, shift=(2.0, -3.0)):
-    """Smoothed speckle, bicubic subpixel global shift."""
-    from scipy import ndimage
-
-    rng = np.random.default_rng(seed)
-    img = ndimage.gaussian_filter(rng.uniform(size=(h, w)), 3.0)
-    img = (img - img.min()) / (img.max() - img.min()) * 255.0
-    i1 = ndimage.shift(img, shift, order=3, mode="nearest")
-    return img.astype(np.float32), i1.astype(np.float32)
-
-
-def make_echo_pair(seed: int, h: int, w: int, contraction: float = 0.04):
-    """Synthetic TEE-like sector: speckled myocardial ring around a dark
-    cavity inside a fan-shaped sector, contracting radially toward the
-    ring center by ``contraction`` (fraction of radius, ~3 px at the
-    ring)."""
-    from scipy import ndimage
-
-    from tee_optical_flow_tpu.ops.tvl1_oracle import bicubic_sample
-
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-
-    # fan sector from the top-center apex
-    ay, ax = -20.0, w / 2.0
-    ang = np.arctan2(xx - ax, yy - ay)
-    rad = np.hypot(xx - ax, yy - ay)
-    sector = (np.abs(ang) < np.radians(38)) & (rad < 0.95 * h)
-
-    # speckle field (multiplicative, echo-like)
-    speckle = ndimage.gaussian_filter(rng.uniform(size=(h, w)), 1.2)
-    speckle = (speckle - speckle.min()) / (speckle.max() - speckle.min())
-
-    # myocardial ring around an elliptical cavity
-    cy, cx = 0.55 * h, 0.5 * w
-    r_ell = np.hypot((yy - cy) / (0.28 * h), (xx - cx) / (0.22 * w))
-    ring = np.exp(-((r_ell - 1.0) / 0.25) ** 2)  # bright wall
-    cavity = r_ell < 0.75
-    img = (30.0 + 200.0 * ring) * (0.35 + 0.65 * speckle)
-    img[cavity] *= 0.15
-    img[~sector] = 0.0
-    img = np.clip(img, 0, 255)
-
-    # radial contraction about the cavity center: sample i0 at
-    # x + c*(x - center) -> material moves inward by ~c*r
-    dy = contraction * (yy - cy)
-    dx = contraction * (xx - cx)
-    i1 = bicubic_sample(img, xx + dx, yy + dy)
-    i1[~sector] = 0.0
-    return img.astype(np.float32), np.clip(i1, 0, 255).astype(np.float32)
+def _stats(err: np.ndarray, mask=None) -> dict:
+    sel = np.zeros_like(err, bool)
+    sel[INTERIOR:-INTERIOR, INTERIOR:-INTERIOR] = True
+    if mask is not None:
+        sel &= mask
+    e = err[sel]
+    return {
+        "median_px": round(float(np.median(e)), 5),
+        "p95_px": round(float(np.percentile(e, 95)), 5),
+        "p99_px": round(float(np.percentile(e, 99)), 5),
+        "max_px": round(float(e.max()), 5),
+    }
 
 
-def compare_pair(i0: np.ndarray, i1: np.ndarray, use_pallas: bool) -> dict:
+def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None) -> dict:
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
@@ -109,66 +89,119 @@ def compare_pair(i0: np.ndarray, i1: np.ndarray, use_pallas: bool) -> dict:
         jnp.asarray(i0[None]), jnp.asarray(i1[None]), use_median=True,
         use_pallas=use_pallas, **SETTINGS))[0]
     t_solver = time.perf_counter() - t0
+    return _case_report(epe(ours, golden), masks, t_oracle, t_solver)
 
-    err = epe(ours, golden)
-    interior = err[8:-8, 8:-8]
-    return {
-        "interior_median_px": round(float(np.median(interior)), 5),
-        "interior_p95_px": round(float(np.percentile(interior, 95)), 5),
-        "interior_p99_px": round(float(np.percentile(interior, 99)), 5),
-        "interior_max_px": round(float(interior.max()), 5),
-        "full_median_px": round(float(np.median(err)), 5),
-        "full_p99_px": round(float(np.percentile(err, 99)), 5),
-        "oracle_seconds": round(t_oracle, 1),
-        "solver_seconds": round(t_solver, 2),
-    }
+
+def compare_pair_deepflow(i0, i1, masks=None) -> dict:
+    import jax.numpy as jnp
+
+    from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+    from tee_optical_flow_tpu.ops.deepflow_oracle import (
+        deepflow_flow_oracle, epe,
+    )
+
+    t0 = time.perf_counter()
+    golden = deepflow_flow_oracle(i0, i1, fp_iters=3, psi_iters=5,
+                                  sor_iters=30, **DF_SETTINGS)
+    t_oracle = time.perf_counter() - t0
+
+    kw = dict(iters=25, fp_iters=3, matching=False,
+              **{k: v for k, v in DF_SETTINGS.items()})
+    deepflow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
+                   **kw).block_until_ready()
+    t0 = time.perf_counter()
+    ours = np.asarray(deepflow_pairs(
+        jnp.asarray(i0[None]), jnp.asarray(i1[None]), **kw))[0]
+    t_solver = time.perf_counter() - t0
+    return _case_report(epe(ours, golden), masks, t_oracle, t_solver)
+
+
+def _case_report(err, masks, t_oracle, t_solver) -> dict:
+    out = {"interior": _stats(err)}
+    if masks is not None:
+        for name, m in masks.items():
+            out[name] = _stats(err, m)
+    out["full_p99_px"] = round(
+        float(np.percentile(err, 99)), 5)
+    out["oracle_seconds"] = round(t_oracle, 1)
+    out["solver_seconds"] = round(t_solver, 2)
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EPE_r02.json")
+    ap.add_argument("--out", default="EPE_r03.json")
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--pairs", type=int, default=2, help="pairs per class")
+    ap.add_argument("--skip-deepflow", action="store_true")
     args = ap.parse_args()
 
     import jax
 
     h, w = args.size
     use_pallas = jax.default_backend() not in ("cpu",)
+    echo_masks = {k: v for k, v in echo_sector_masks(h, w).items()
+                  if k in ("sector", "wall")}
 
     cases = {}
     shifts = [(2.0, -3.0), (-1.3, 0.8), (4.0, 2.5)]
     for k in range(args.pairs):
         i0, i1 = make_textured_pair(k, h, w, shifts[k % len(shifts)])
-        cases[f"textured_{k}"] = compare_pair(i0, i1, use_pallas)
+        cases[f"textured_{k}"] = compare_pair_tvl1(i0, i1, use_pallas)
         print(f"textured_{k}: {cases[f'textured_{k}']}", flush=True)
     for k in range(args.pairs):
-        i0, i1 = make_echo_pair(100 + k, h, w,
-                                contraction=0.03 + 0.02 * k)
-        cases[f"echo_{k}"] = compare_pair(i0, i1, use_pallas)
+        i0, i1 = make_echo_pair(100 + k, h, w, contraction=0.03 + 0.02 * k)
+        cases[f"echo_{k}"] = compare_pair_tvl1(i0, i1, use_pallas,
+                                               masks=echo_masks)
         print(f"echo_{k}: {cases[f'echo_{k}']}", flush=True)
 
-    medians = [c["interior_median_px"] for c in cases.values()]
+    df_cases = {}
+    if not args.skip_deepflow:
+        i0, i1 = make_textured_pair(0, h, w, shifts[0])
+        df_cases["textured_0"] = compare_pair_deepflow(i0, i1)
+        print(f"deepflow textured_0: {df_cases['textured_0']}", flush=True)
+        i0, i1 = make_echo_pair(100, h, w, contraction=0.04)
+        df_cases["echo_0"] = compare_pair_deepflow(i0, i1, masks=echo_masks)
+        print(f"deepflow echo_0: {df_cases['echo_0']}", flush=True)
+
+    medians = [c["interior"]["median_px"] for c in cases.values()]
+    sector_p95 = [c["sector"]["p95_px"] for c in cases.values()
+                  if "sector" in c]
     report = {
-        "metric": "tvl1_epe_vs_ipol_oracle_px",
+        "metric": "flow_epe_vs_float64_oracles_px",
         "north_star_threshold_px": 0.1,
         "north_star_met": bool(max(medians) < 0.1),
         "worst_interior_median_px": max(medians),
+        "worst_sector_masked_p95_px": max(sector_p95) if sector_p95 else None,
+        "sector_masked_p95_met": (bool(max(sector_p95) < 0.1)
+                                  if sector_p95 else None),
         "resolution": [h, w],
         "solver_backend": jax.default_backend(),
-        "solver_settings": SETTINGS,
-        "oracle": ("IPOL tvl1flow (Sanchez et al. 2013) + OpenCV "
-                   "outer/inner split and 5x5 flow median, float64 NumPy, "
-                   "epsilon stopping disabled on both sides"),
-        "note": ("interior = excluding an 8 px border band where the "
-                 "bilinear shift-warp and bicubic clamp diverge by "
-                 "construction; the pipeline's masked analysis never "
-                 "consumes the border"),
-        "cases": cases,
+        "tvl1_settings": SETTINGS,
+        "deepflow_settings": DF_SETTINGS,
+        "oracles": {
+            "tvl1": ("IPOL tvl1flow (Sanchez et al. 2013) + OpenCV "
+                     "outer/inner split and 5x5 flow median, float64 "
+                     "NumPy, epsilon stopping disabled on both sides"),
+            "deepflow": ("Brox et al. 2004 energy (+ Weinzaepfel 2013 "
+                         "matching term, disabled here on both sides), "
+                         "red-black SOR, float64 NumPy"),
+        },
+        "note": ("interior = excluding an 8 px border band. Masked echo "
+                 "stats: 'sector' = inside the imaging fan, 'wall' = the "
+                 "myocardial ring (what the pipeline's masked analysis "
+                 "consumes). The unmasked tail concentrates outside the "
+                 "sector / in the cavity where the image is (near-)black "
+                 "and the data term vanishes — solver-vs-oracle "
+                 "divergence there is smoothness-diffusion detail, not "
+                 "measurement error; see module docstring"),
+        "tvl1_cases": cases,
+        "deepflow_cases": df_cases,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({k: v for k, v in report.items() if k != "cases"}))
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("tvl1_cases", "deepflow_cases")}))
 
 
 if __name__ == "__main__":

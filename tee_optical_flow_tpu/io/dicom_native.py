@@ -56,6 +56,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dicom_read_pixels.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.dicom_read_pixels.restype = ctypes.c_int64
+        lib.dicom_rle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.dicom_rle_decode.restype = ctypes.c_int64
         _lib = lib
     except Exception as exc:
         logger.info("native dicomlite unavailable (%s); using pure-Python parser", exc)
@@ -67,6 +72,53 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_RLE_UID = "1.2.840.10008.1.2.5"
+
+
+def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarray]:
+    """Walk the encapsulated item stream (Python: a few 8-byte headers)
+    and decode each frame with the C++ packbits decoder."""
+    import struct
+
+    rows, cols = int(info.rows), int(info.cols)
+    samples = max(int(info.samples), 1)
+    frame_bytes = rows * cols * samples
+    with open(path, "rb") as f:
+        f.seek(int(info.pixel_data_offset))
+        data = f.read(int(info.pixel_data_size))
+
+    frames = []
+    segcounts = (ctypes.c_int32 * 16)()
+    pos = 0
+    first = True
+    while pos + 8 <= len(data):
+        group, elem, ilen = struct.unpack_from("<HHI", data, pos)
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            break
+        if (group, elem) != (0xFFFE, 0xE000):
+            return None
+        payload = data[pos:pos + ilen]
+        pos += ilen
+        if first:
+            first = False
+            continue  # basic offset table (possibly empty)
+        out = np.empty(frame_bytes, np.uint8)
+        got = lib.dicom_rle_decode(
+            payload, len(payload),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+            segcounts)
+        if got != frame_bytes:
+            return None
+        if samples > 1:
+            frames.append(out.reshape(samples, rows, cols).transpose(1, 2, 0))
+        else:
+            frames.append(out.reshape(rows, cols))
+    if not frames:
+        return None
+    return np.stack(frames)
+
+
 def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
     """Parse + decode with the native library. Returns None on any
     condition the Python fallback should handle instead."""
@@ -75,10 +127,20 @@ def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
         return None
     info = _DicomInfo()
     rc = lib.dicom_parse(path.encode(), ctypes.byref(info))
-    if rc != 0 or info.encapsulated or info.pixel_data_size <= 0:
+    if rc != 0 or info.pixel_data_size <= 0:
         return None
     if info.bits not in (8, 16) or info.rows <= 0 or info.cols <= 0:
         return None
+    if info.encapsulated:
+        # RLE rides the native packbits decoder; other encapsulated
+        # syntaxes (JPEG) stay on the cv2 fallback
+        ts = info.transfer_syntax.decode(errors="replace").strip("\x00 ")
+        if ts != _RLE_UID or info.bits != 8:
+            return None
+        arr = _decode_rle_stream(path, info, lib)
+        if arr is None:
+            return None
+        return _build_meta(info), np.ascontiguousarray(arr)
 
     buf = np.empty(int(info.pixel_data_size), np.uint8)
     got = lib.dicom_read_pixels(
@@ -103,7 +165,11 @@ def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
     else:
         arr = arr.reshape(frames, info.rows, info.cols)
 
-    meta = {
+    return _build_meta(info), np.ascontiguousarray(arr)
+
+
+def _build_meta(info: "_DicomInfo") -> dict:
+    return {
         "pixel_spacing": info.pixel_spacing if info.pixel_spacing >= 0 else None,
         "frame_rate": info.frame_rate if info.frame_rate >= 0 else None,
         "R_times": (np.asarray(info.rwave_times[:info.n_rwaves])
@@ -114,4 +180,3 @@ def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
         "photometric": info.photometric.decode(errors="replace"),
         "transfer_syntax": info.transfer_syntax.decode(errors="replace"),
     }
-    return meta, np.ascontiguousarray(arr)

@@ -15,48 +15,14 @@ from tee_optical_flow_tpu.flow.segment import clean_mask, predict_movie_thres
 from tee_optical_flow_tpu.io.dicom import dcmread, extract_metadata, read_dicom_clip
 
 
-# ---------------------------------------------------------------------------
-# tiny explicit-VR-LE DICOM writer (test fixture generator)
-# ---------------------------------------------------------------------------
-
-def _el(group, elem, vr, payload: bytes) -> bytes:
-    head = struct.pack("<HH", group, elem) + vr
-    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
-        if len(payload) % 2:
-            payload += b"\x00"
-        return head + b"\x00\x00" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        payload += b" " if vr in (b"UI", b"LO", b"CS", b"IS", b"DS") else b"\x00"
-    return head + struct.pack("<H", len(payload)) + payload
+# fixture generation via the package's writer (io/dicom_write.py)
+from tee_optical_flow_tpu.io.dicom_write import encode_element as _el
+from tee_optical_flow_tpu.io.dicom_write import write_dicom_clip
 
 
-def write_test_dicom(path, frames: np.ndarray, frame_rate=30, pixel_spacing=0.05,
-                     rwaves=(10.0, 800.0), patient="TEST01"):
+def write_test_dicom(path, frames: np.ndarray, **kw):
     """frames: (N, H, W, 3) uint8."""
-    n, h, w, _ = frames.shape
-    meta = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
-
-    # ultrasound regions sequence: one defined-length item with PhysicalDeltaX
-    item_body = _el(0x0018, 0x602C, b"FD", struct.pack("<d", pixel_spacing))
-    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(item_body)) + item_body
-    seq = _el(0x0018, 0x6011, b"SQ", item)
-
-    body = b"".join([
-        _el(0x0010, 0x0020, b"LO", patient.encode()),
-        _el(0x0018, 0x0040, b"IS", str(frame_rate).encode()),
-        _el(0x0018, 0x1088, b"IS", b"72"),
-        seq,
-        _el(0x0018, 0x6060, b"UL", b"".join(struct.pack("<I", int(r)) for r in rwaves)),
-        _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
-        _el(0x0028, 0x0004, b"CS", b"RGB"),
-        _el(0x0028, 0x0008, b"IS", str(n).encode()),
-        _el(0x0028, 0x0010, b"US", struct.pack("<H", h)),
-        _el(0x0028, 0x0011, b"US", struct.pack("<H", w)),
-        _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
-        _el(0x7FE0, 0x0010, b"OB", frames.tobytes()),
-    ])
-    with open(path, "wb") as f:
-        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    write_dicom_clip(path, frames, **kw)
 
 
 def _synthetic_clip(rng, n=8, h=48, w=48):
@@ -85,6 +51,26 @@ def test_dicom_roundtrip(tmp_path, rng):
     assert abs(meta["pixel_spacing"] - 0.05) < 1e-12
     assert meta["R_wave_data_present"]
     np.testing.assert_allclose(meta["R_times"], [10.0, 800.0])
+
+
+def test_dicom_rle_roundtrip_both_parsers(tmp_path, rng):
+    """RLE-encapsulated clips decode identically through the pure-Python
+    parser and the native (dicomlite.cpp packbits) fast path."""
+    from tee_optical_flow_tpu.io.dicom_native import native_available, native_read
+
+    frames = _synthetic_clip(rng, n=3)
+    frames[:, :10] = 0  # constant rows exercise replicate runs
+    path = str(tmp_path / "rle.dcm")
+    write_dicom_clip(path, frames, transfer_syntax="rle")
+
+    ds = dcmread(path)
+    np.testing.assert_array_equal(ds.pixel_array, frames)
+    _, clip = read_dicom_clip(path)
+    np.testing.assert_array_equal(clip, frames)
+    if native_available():
+        meta, arr = native_read(path)
+        np.testing.assert_array_equal(arr, frames)
+        assert meta["transfer_syntax"] == "1.2.840.10008.1.2.5"
 
 
 def test_dicom_frame_rate_fallbacks(tmp_path, rng):

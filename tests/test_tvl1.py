@@ -171,6 +171,38 @@ def test_jax_solver_matches_ipol_oracle(rng):
     assert np.percentile(err, 95) < 0.1, f"p95 EPE {np.percentile(err, 95):.4f}"
 
 
+@pytest.mark.slow
+def test_jax_solver_matches_oracle_on_echo_sector(rng):
+    """Echo-content golden test (round-3 tail pin): synthetic TEE sector
+    with radial contraction vs the IPOL oracle, reported over the masks
+    the pipeline consumes. The round-2 tail diagnosis located the p99
+    excess entirely outside the sector / in the dark cavity (no signal:
+    solver-vs-oracle divergence there is smoothness diffusion, not
+    measurement error); the wall/sector numbers are the product
+    contract, and this pins them against regression (EPE_r03.json has
+    the full-res figures)."""
+    from tee_optical_flow_tpu.ops.tvl1_oracle import epe, tvl1_flow_oracle
+    from tee_optical_flow_tpu.synthetic import echo_sector_masks, make_echo_pair
+
+    h, w = 240, 320
+    i0, i1 = make_echo_pair(101, h, w, contraction=0.05)
+    settings = dict(nscales=4, zoom=0.8, warps=5, outer_iters=10,
+                    inner_iters=30)
+    golden = tvl1_flow_oracle(i0, i1, epsilon=0.0, median_kernel=5,
+                              **settings)
+    ours = np.asarray(tvl1_flow_pairs(i0[None], i1[None], use_median=True,
+                                      **settings))[0]
+    err = epe(ours, golden)
+    masks = echo_sector_masks(h, w)
+    interior = np.zeros((h, w), bool)
+    interior[8:-8, 8:-8] = True
+    sector = err[masks["sector"] & interior]
+    wall = err[masks["wall"] & interior]
+    assert np.percentile(sector, 95) < 0.1, np.percentile(sector, 95)
+    assert np.percentile(wall, 99) < 0.15, np.percentile(wall, 99)
+    assert wall.max() < 0.3, wall.max()
+
+
 def test_pallas_inner_block_matches_xla_interpret(rng):
     """Interpret-mode parity of the Pallas fused inner loop vs its XLA
     twin on a multi-tile shape, covering the halo recompute and the
