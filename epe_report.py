@@ -167,11 +167,20 @@ def main() -> None:
     medians = [c["interior"]["median_px"] for c in cases.values()]
     sector_p95 = [c["sector"]["p95_px"] for c in cases.values()
                   if "sector" in c]
+    wall_p95 = [c["wall"]["p95_px"] for c in cases.values() if "wall" in c]
     report = {
         "metric": "flow_epe_vs_float64_oracles_px",
         "north_star_threshold_px": 0.1,
         "north_star_met": bool(max(medians) < 0.1),
         "worst_interior_median_px": max(medians),
+        # the product contract: the pipeline reads flow only through
+        # segmentation masks (myocardium) — the wall numbers. The sector
+        # figure still includes the near-zero-signal cavity (~24% of the
+        # sector), where solver-vs-oracle divergence is smoothness
+        # diffusion, not measurement error (see note)
+        "worst_wall_masked_p95_px": max(wall_p95) if wall_p95 else None,
+        "wall_masked_p95_met": (bool(max(wall_p95) < 0.1)
+                                if wall_p95 else None),
         "worst_sector_masked_p95_px": max(sector_p95) if sector_p95 else None,
         "sector_masked_p95_met": (bool(max(sector_p95) < 0.1)
                                   if sector_p95 else None),

@@ -258,6 +258,10 @@ def get_network(name: str, num_classes: int = 2, **kw):
         "efficientnet": lambda: EfficientNetLite(num_classes=num_classes, **kw),
         "vae": lambda: VanillaVAE(**kw),
         "discriminator": lambda: Discriminator(**kw),
+        "tag": lambda: TAG(num_classes=num_classes, **kw),
+        # implicit critics take (seg, label, natural) — see class docs
+        "implicitnet": lambda: ImplicitNet(**kw),
+        "implicitefficientnet": lambda: ImplicitEfficientNet(**kw),
     }
     if name not in table:
         raise ValueError(f"unknown network {name!r}; choose from {sorted(table)}")
@@ -425,3 +429,287 @@ class GoinNet(nn.Module):
         aux = nn.Dense(self.num_classes, name="aux_head")(
             jnp.mean(bottom, axis=(1, 2)))
         return seg, aux
+
+
+# ---------------------------------------------------------------------------
+# TAG part-token transformer + implicit realism nets (the last three
+# reference baselines: models/tag/tag.py:243 + tag_layers.py,
+# implicitnet.py:43, implicitefficientnet.py:113)
+# ---------------------------------------------------------------------------
+
+
+class _AnyAttention(nn.Module):
+    """Cross/self attention over arbitrary token sets with optional
+    additive per-head positional terms (reference tag_layers.py
+    AnyAttention:75 + apply_pos:11): q/k/v each layer-normed then
+    linearly projected, per-head dot-product attention, output proj."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, qpos=None, kpos=None):
+        hd = self.dim // self.num_heads
+
+        def add_pos(t, pos):
+            # reference apply_pos (tag_layers.py:11): pos (N, 1, hd)
+            # broadcasts over batch and heads in per-head layout
+            b, n, _ = t.shape
+            th = t.reshape(b, n, self.num_heads, hd) + pos[None, :, :, :]
+            return th.reshape(b, n, self.dim)
+
+        if qpos is not None:
+            q = add_pos(q, qpos)
+        if kpos is not None:
+            k = add_pos(k, kpos)
+        q = nn.LayerNorm(name="norm_q")(q)
+        k = nn.LayerNorm(name="norm_k")(k)
+        v = nn.LayerNorm(name="norm_v")(v)
+        q = nn.Dense(self.dim, use_bias=False, name="to_q")(q)
+        k = nn.Dense(self.dim, use_bias=False, name="to_k")(k)
+        v = nn.Dense(self.dim, use_bias=False, name="to_v")(v)
+        b = q.shape[0]
+        qh = q.reshape(b, -1, self.num_heads, hd)
+        kh = k.reshape(b, -1, self.num_heads, hd)
+        vh = v.reshape(b, -1, self.num_heads, hd)
+        attn = jnp.einsum("bqgc,bkgc->bqgk", qh, kh) * (hd ** -0.5)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bqgk,bkgc->bqgc", attn, vh).reshape(b, -1, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class _SimpleReasoning(nn.Module):
+    """Residual token-mixing over the part axis (tag_layers.py:63)."""
+
+    num_parts: int
+
+    @nn.compact
+    def __call__(self, x):
+        t = nn.LayerNorm(name="norm")(x)
+        # 1x1 Conv1d over the token axis == dense mixing of parts
+        t = jnp.einsum("pq,bqc->bpc",
+                       self.param("mix", nn.initializers.lecun_normal(),
+                                  (self.num_parts, self.num_parts)), t)
+        return x + t
+
+
+class _TagMlp(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.gelu(nn.Dense(self.hidden, name="fc1")(x))
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class TAGStage(nn.Module):
+    """One TAG stage (reference tag.py Stage:133): depthwise-conv patch
+    embedding of the feature map, part tokens projected to the stage
+    width, then decoder blocks broadcasting part information back into
+    the features (x cross-attends the parts; reference tag.py
+    Decoder:73 — the stage-level Encoder and patch-local attention are
+    commented out in the reference and therefore omitted). The final
+    stage can instead pool INTO the parts (last_enc: Encoder:44 with
+    SimpleReasoning) for classification.
+
+    Divergence note: the reference's ``to_part`` pushes the (B, N, C)
+    part tokens through a Conv2d patch embed, which cannot run on a 3-D
+    tensor — dead-as-shipped upstream code. The intended projection (its
+    commented-out ``proj_token``: token mix + Linear + Norm) is what this
+    implements.
+    """
+
+    out_ch: int
+    num_blocks: int
+    num_heads: int
+    num_enc_heads: int
+    stride: int
+    num_parts: int
+    ffn_exp: int = 3
+    last_enc: bool = False
+
+    @nn.compact
+    def __call__(self, x, parts):
+        b, h, w, c = x.shape
+        hd = self.out_ch // self.num_heads
+        # patch embed: depthwise 3x3 (stride) + linear proj + norm
+        x = nn.Conv(c, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, feature_group_count=c, name="to_token")(x)
+        nh, nw = x.shape[1], x.shape[2]
+        x = nn.Dense(self.out_ch, use_bias=False, name="proj_x")(
+            x.reshape(b, nh * nw, c))
+        x = nn.LayerNorm(name="proj_norm")(x)
+        # part projection (see divergence note)
+        parts = nn.LayerNorm(name="part_norm")(
+            nn.Dense(self.out_ch, use_bias=False, name="proj_token")(parts))
+
+        qpos = self.param("rpn_qpos", nn.initializers.truncated_normal(0.02),
+                          (self.num_parts, 1, hd))
+        kpos = self.param("rpn_kpos", nn.initializers.truncated_normal(0.02),
+                          (self.num_parts, 1, hd))
+        for i in range(self.num_blocks):
+            attn = _AnyAttention(self.out_ch, self.num_heads,
+                                 name=f"blk{i}_attn")(
+                q=x, k=parts, v=parts, qpos=None, kpos=qpos)
+            x = x + attn
+            x = x + _TagMlp(self.out_ch, self.out_ch * self.ffn_exp,
+                            name=f"blk{i}_ffn")(x)
+        if self.last_enc:
+            enc = _AnyAttention(self.out_ch, self.num_enc_heads,
+                                name="last_enc_attn")(
+                q=parts, k=x, v=x, qpos=qpos, kpos=None)
+            parts = parts + enc
+            parts = _SimpleReasoning(self.num_parts, name="last_enc_reason")(
+                parts)
+            return parts, parts
+        return x.reshape(b, nh, nw, self.out_ch), parts
+
+
+class TAG(nn.Module):
+    """TAG part-token classifier (reference models/tag/tag.py:243,
+    TAG_tiny config tag.py:387: stem 7x7/2 + maxpool/2, four stages with
+    learned part tokens, last-stage encoder pooling into the parts, mean
+    over parts -> fc head)."""
+
+    num_classes: int = 1000
+    inplanes: int = 64
+    num_chs: Sequence[int] = (64, 128, 256, 512)
+    num_layers: Sequence[int] = (1, 1, 2, 1)
+    num_strides: Sequence[int] = (1, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    num_enc_heads: Sequence[int] = (1, 2, 4, 8)
+    num_parts: Sequence[int] = (32, 32, 32, 32)
+    has_last_encoder: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(self.inplanes, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="norm1")(x)
+        x = nn.gelu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        parts = jnp.tile(
+            self.param("rpn_tokens", nn.initializers.truncated_normal(0.02),
+                       (1, self.num_parts[0], self.inplanes)), (b, 1, 1))
+        for i in range(len(self.num_layers)):
+            last = self.has_last_encoder and i == len(self.num_layers) - 1
+            x, parts = TAGStage(
+                out_ch=self.num_chs[i], num_blocks=self.num_layers[i],
+                num_heads=self.num_heads[i],
+                num_enc_heads=self.num_enc_heads[i],
+                stride=self.num_strides[i], num_parts=self.num_parts[i],
+                last_enc=last, name=f"layer_{i}")(x, parts)
+        if self.has_last_encoder:
+            out = jnp.mean(nn.gelu(x), axis=1)
+        else:
+            x = nn.Conv(self.num_chs[-1], (1, 1), use_bias=False,
+                        name="last_linear")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name="last_norm")(x)
+            out = jnp.mean(nn.gelu(x), axis=(1, 2))
+        return nn.Dense(self.num_classes, name="last_fc")(out)
+
+
+class _LinearBottleneck(nn.Module):
+    """MobileNetV2-style inverted residual (reference implicitnet.py
+    LinearBottleNeck:10)."""
+
+    out_ch: int
+    stride: int
+    t: int = 6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        h = nn.Conv(in_ch * self.t, (1, 1), name="expand")(x)
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = jnp.minimum(nn.relu(h), 6.0)
+        h = nn.Conv(in_ch * self.t, (3, 3),
+                    strides=(self.stride, self.stride), padding=1,
+                    feature_group_count=in_ch * self.t, name="dw")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = jnp.minimum(nn.relu(h), 6.0)
+        h = nn.Conv(self.out_ch, (1, 1), name="proj")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn3")(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class ImplicitNet(nn.Module):
+    """Implicit per-pixel realism critic (reference implicitnet.py:43):
+    concatenates a broadcast class label, the natural image and the
+    segmentation into a 5-channel input, runs a MobileNetV2-style trunk
+    and emits a sigmoid map."""
+
+    @nn.compact
+    def __call__(self, seg, label, natural, train: bool = False):
+        b, h, w, _ = seg.shape
+        lab = jnp.broadcast_to(label.reshape(b, 1, 1, 1), (b, h, w, 1))
+        x = jnp.concatenate([lab, natural, seg], axis=-1)
+        x = nn.Conv(32, (1, 1), padding=1, name="pre")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="pre_bn")(x)
+        x = jnp.minimum(nn.relu(x), 6.0)
+        cfg = [  # (repeat, out_ch, stride, t) — implicitnet.py:53-60
+            (1, 16, 1, 1), (2, 24, 2, 6), (3, 32, 2, 6), (4, 64, 2, 6),
+            (3, 96, 1, 6), (3, 160, 1, 6), (1, 320, 1, 6)]
+        for si, (rep, ch, stride, t) in enumerate(cfg):
+            for r in range(rep):
+                x = _LinearBottleneck(ch, stride if r == 0 else 1, t,
+                                      name=f"s{si}_b{r}")(x, train)
+        x = nn.Conv(1280, (1, 1), name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="conv1_bn")(x)
+        x = jnp.minimum(nn.relu(x), 6.0)
+        return nn.sigmoid(nn.Conv(1, (1, 1), name="conv2")(x))
+
+
+class ImplicitEfficientNet(nn.Module):
+    """EfficientNet-trunk implicit critic (reference
+    implicitefficientnet.py:113): 5-channel stem over (label, natural,
+    seg), MBConv trunk, head selected by ``head_type`` — 'map' (sigmoid
+    realism map), 'img' (3-channel reconstruction), or 'feature' (gram
+    matrix of centered features for a style-type loss)."""
+
+    head_type: str = "map"
+    widths: Sequence[int] = (16, 24, 40, 80)
+
+    @nn.compact
+    def __call__(self, seg, label, natural, train: bool = False):
+        b, h, w, _ = seg.shape
+        lab = jnp.broadcast_to(label.reshape(b, 1, 1, 1), (b, h, w, 1))
+        x = jnp.concatenate([lab, natural, seg], axis=-1)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    name="stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        x = nn.swish(x)
+        for i, wdt in enumerate(self.widths):
+            hidden = x.shape[-1] * 4
+            y = nn.Conv(hidden, (1, 1), use_bias=False, name=f"m{i}_expand")(x)
+            y = nn.swish(nn.BatchNorm(use_running_average=not train,
+                                      name=f"m{i}_bn1")(y))
+            y = nn.Conv(hidden, (3, 3), strides=(2, 2), padding=1,
+                        feature_group_count=hidden, use_bias=False,
+                        name=f"m{i}_dw")(y)
+            y = nn.swish(nn.BatchNorm(use_running_average=not train,
+                                      name=f"m{i}_bn2")(y))
+            y = SEBlock(reduction=4, name=f"m{i}_se")(y)
+            y = nn.Conv(wdt, (1, 1), use_bias=False, name=f"m{i}_proj")(y)
+            x = nn.BatchNorm(use_running_average=not train, name=f"m{i}_bn3")(y)
+        if self.head_type == "feature":
+            f = x.reshape(b, -1, x.shape[-1])
+            f = f - jnp.mean(f, axis=1, keepdims=True)
+            return jnp.einsum("bnc,bnd->bcd", f, f) / f.shape[1]
+        if self.head_type == "img":
+            for i, ch in enumerate((448, 112)):
+                bb, hh, ww, _ = x.shape
+                x = jax.image.resize(x, (bb, hh * 2, ww * 2, x.shape[-1]),
+                                     "nearest")
+                x = nn.Conv(ch, (3, 3), padding=1, name=f"up{i}")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 name=f"up{i}_bn")(nn.relu(x))
+            return nn.sigmoid(nn.Conv(3, (1, 1), name="head_img")(x))
+        return nn.sigmoid(nn.Conv(1, (1, 1), name="head_map")(x))

@@ -27,11 +27,22 @@ from .tinyvit import _window_partition, _window_unpartition
 
 def _rel_pos_embed(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
     """Select (and if needed linearly resize) relative position embeddings
-    for a q/k size pair -> (q_size, k_size, head_dim)."""
+    for a q/k size pair -> (q_size, k_size, head_dim).
+
+    The resize matches torch ``F.interpolate(mode='linear')`` exactly
+    (half-pixel centers, NO anti-aliasing — the reference get_rel_pos,
+    image_encoder.py:246+); ``jax.image.resize`` anti-aliases on
+    downsample and would shift converted-checkpoint biases wherever the
+    attended grid is smaller than the table (e.g. the thd depth grid)."""
     max_rel_dist = 2 * max(q_size, k_size) - 1
-    if rel_pos.shape[0] != max_rel_dist:
-        rel_pos = jax.image.resize(
-            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear")
+    n = rel_pos.shape[0]
+    if n != max_rel_dist:
+        pos = jnp.clip((jnp.arange(max_rel_dist) + 0.5) * (n / max_rel_dist)
+                       - 0.5, 0.0, n - 1.0)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        frac = (pos - lo)[:, None]
+        rel_pos = rel_pos[lo] * (1.0 - frac) + rel_pos[hi] * frac
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)

@@ -312,3 +312,59 @@ def test_vitdet_full_conversion_structural():
     convert_vitdet(sd, {"image_encoder": params}, depth=2)
     np.testing.assert_allclose(
         params["neck_ln1"]["weight"], sd["image_encoder.neck.1.weight"].numpy())
+
+
+def test_vitdet_thd_block_parity():
+    """The 3D (thd) depth-attention branch, torch vs flax, on a config
+    where the two documented divergences are moot: a GLOBAL-attention
+    block (window_size=0 — the reference depth-attends the un-partitioned
+    map there, as we always do) and chunk=6, where the reference's
+    closest_numbers and our _closest_factors both give a (2, 3) depth
+    grid. This pins the depth-attention wiring (shared attention weights
+    on the depth grid, no-skip Depth Adapter, scatter-back) numerically;
+    windowed thd blocks remain an intentional divergence (NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    from models.sam.modeling.image_encoder import Block as TorchBlock
+
+    from tee_optical_flow_tpu.models.convert import _linear, _ln, _set, _t
+    from tee_optical_flow_tpu.models.image_encoder import Block
+
+    _torch_seed()
+    dim, heads, d, hw = 64, 4, 6, 8
+    args = SimpleNamespace(
+        if_encoder_adapter=True, encoder_adapter_depths=[1], thd=True,
+        encoder_depth_layer=[], depth=1, image_size=1024, chunk=d)
+    tb = TorchBlock(args, dim=dim, num_heads=heads, use_rel_pos=True,
+                    depth=1, window_size=0, input_size=(hw, hw))
+    tb.eval()
+    with torch.no_grad():
+        tb.attn.rel_pos_h.normal_(0, 0.05)
+        tb.attn.rel_pos_w.normal_(0, 0.05)
+    sd = tb.state_dict()
+
+    fb = Block(dim, heads, window_size=0, input_size=(hw, hw),
+               use_adapter=True, thd=True, chunk=d)
+    x = np.random.default_rng(0).normal(
+        size=(2 * d, hw, hw, dim)).astype(np.float32)
+    variables = fb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    _ln(params, "norm1", ("norm1",), sd)
+    _ln(params, "norm2", ("norm2",), sd)
+    _linear(params, "attn.qkv", ("attn", "qkv"), sd)
+    _linear(params, "attn.proj", ("attn", "proj"), sd)
+    _set(params, ("attn", "rel_pos_h"), _t(sd["attn.rel_pos_h"]))
+    _set(params, ("attn", "rel_pos_w"), _t(sd["attn.rel_pos_w"]))
+    _linear(params, "mlp.lin1", ("mlp", "lin1"), sd)
+    _linear(params, "mlp.lin2", ("mlp", "lin2"), sd)
+    for t_name, f_name in (("Space_Adapter", "space_adapter"),
+                           ("MLP_Adapter", "mlp_adapter"),
+                           ("Depth_Adapter", "depth_adapter")):
+        _linear(params, f"{t_name}.D_fc1", (f_name, "down"), sd)
+        _linear(params, f"{t_name}.D_fc2", (f_name, "up"), sd)
+
+    ours = np.asarray(fb.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tb(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-4)

@@ -174,6 +174,51 @@ def test_new_baselines_and_decoder():
     assert masks.shape == (1, 3, 8, 8)
 
 
+@pytest.mark.slow
+def test_tag_and_implicit_baselines():
+    """The last three reference baselines (models/tag/tag.py:243,
+    implicitnet.py:43, implicitefficientnet.py:113): shape contracts and
+    output-range checks. TAG uses a reduced config (the TAG_tiny layout
+    with fewer parts/channels) — the config knobs are the surface."""
+    from tee_optical_flow_tpu.models.baselines import get_network
+
+    tag = get_network("tag", num_classes=4, num_chs=(16, 32, 64, 128),
+                      num_parts=(8, 8, 8, 8), num_heads=(1, 2, 4, 4),
+                      num_enc_heads=(1, 2, 4, 4), inplanes=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = tag.init(jax.random.PRNGKey(0), x)
+    out = tag.apply(v, x)
+    assert out.shape == (2, 4)
+
+    tag_conv = get_network("tag", num_classes=4, num_chs=(16, 32, 64, 128),
+                           num_parts=(8, 8, 8, 8), num_heads=(1, 2, 4, 4),
+                           num_enc_heads=(1, 2, 4, 4), inplanes=16,
+                           has_last_encoder=False)
+    v = tag_conv.init(jax.random.PRNGKey(0), x)
+    out, _ = tag_conv.apply(v, x, train=True,
+                            mutable=["batch_stats"])
+    assert out.shape == (2, 4)
+
+    seg = jnp.zeros((1, 64, 64, 1))
+    natural = jnp.zeros((1, 64, 64, 3))
+    label = jnp.asarray([1.0])
+    inet = get_network("implicitnet")
+    v = inet.init(jax.random.PRNGKey(0), seg, label, natural)
+    out = inet.apply(v, seg, label, natural)
+    # 9x9, not 8x8: the reference's pre conv is a 1x1 with padding=1
+    # (implicitnet.py:48), growing 64 -> 66 before the three stride-2
+    # stages — quirk preserved
+    assert out.shape == (1, 9, 9, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    for head, check in (("map", lambda o: o.shape == (1, 2, 2, 1)),
+                        ("img", lambda o: o.shape == (1, 8, 8, 3)),
+                        ("feature", lambda o: o.shape == (1, 80, 80))):
+        ienet = get_network("implicitefficientnet", head_type=head)
+        v = ienet.init(jax.random.PRNGKey(0), seg, label, natural)
+        assert check(ienet.apply(v, seg, label, natural)), head
+
+
 def test_weighted_ce_and_visutils(tmp_path):
     from tee_optical_flow_tpu.train.losses import weighted_cross_entropy_loss
     from tee_optical_flow_tpu.train.visutils import create_logger, eval_seg, vis_image
