@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.histogram import masked_histogram, masked_percentile, histogram_edges, carry_forward
+from ..ops.histogram import carry_forward, framewise_hist_pack, histogram_edges
 from .centroid import calc_AV_centroid
 from .components import calculate_comp_magnitude
 
@@ -40,17 +40,22 @@ def cart_to_polar(flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mag, ang
 
 
-def _framewise_hist_and_percentiles(arr: np.ndarray, nframes: int,
-                                    percs, nbins: int):
+def _framewise_hist_and_percentiles(arr, nframes: int, percs, nbins: int):
     """Shared device pass: global range, per-frame nonzero histogram (+1)
-    and nonzero percentiles with reference carry-forward policy."""
-    dev = jnp.asarray(np.asarray(arr)[:nframes])
-    gmax = float(jnp.max(dev))
-    gmin = float(jnp.min(dev))
-    freq = np.asarray(masked_histogram(dev, gmin, gmax, nbins=nbins))
-    vals, valid = masked_percentile(dev, jnp.asarray(percs, dtype=jnp.float32))
-    vals = np.asarray(vals)
-    valid = np.asarray(valid)
+    and nonzero percentiles with reference carry-forward policy.
+
+    ``arr`` may be a device array — it stays resident (no host round
+    trip), and the whole pass is one fused program with a single
+    readback (ops/histogram.framewise_hist_pack)."""
+    dev = jnp.asarray(arr)[:nframes]
+    nperc = len(percs)
+    pack = np.asarray(framewise_hist_pack(
+        dev, jnp.asarray(np.asarray(percs, np.float32)), nbins=nbins))
+    freq = pack[:-1, :nbins]
+    vals = pack[:-1, nbins:nbins + nperc]
+    valid = pack[:-1, -1] > 0
+    gmin = float(pack[-1, 0])
+    gmax = float(pack[-1, 1])
 
     for i in np.where(~valid)[0]:
         logger.warning("len(flat_nonzero) is 0 for frame %d", i)
@@ -74,15 +79,16 @@ def calculate_3dhist(masked_arr, nframes: int, nbins: int = 1000,
                      percentile: int = 99):
     """(mag_freq, ang_freq, mag_edges, ang_edges, perc_hi) —
     reference analysis.py:215-286."""
-    dev = jnp.asarray(np.asarray(masked_arr)[:nframes])
+    dev = jnp.asarray(masked_arr)[:nframes]
     mag, ang = cart_to_polar(dev)
 
+    # mag/ang stay device-resident into the fused hist pass
     mag_freq, mag_edges, mvals, mvalid, mmin, mmax = \
-        _framewise_hist_and_percentiles(np.asarray(mag), nframes, [percentile], nbins)
+        _framewise_hist_and_percentiles(mag, nframes, [percentile], nbins)
     perc_hi = carry_forward(mvals[:, 0], mvalid, mmax)
 
     ang_freq, ang_edges, _avals, avalid, _amin, _amax = \
-        _framewise_hist_and_percentiles(np.asarray(ang), nframes, [50], nbins)
+        _framewise_hist_and_percentiles(ang, nframes, [50], nbins)
 
     return mag_freq, ang_freq, mag_edges, ang_edges, perc_hi
 
@@ -100,9 +106,9 @@ def calculate_3dhist_radlong(param_arr, av_masks, nframes: int,
                                  savgol_poly=av_savgol_poly, verbose=verbose)
     rad_arr, long_arr = calculate_comp_magnitude(param_arr, centroids)
 
-    rad = calc_bidirectional_hist(np.asarray(rad_arr), nframes,
+    rad = calc_bidirectional_hist(rad_arr, nframes,
                                   perc_lo=perc_lo, perc_hi=perc_hi, nbins=nbins)
-    lng = calc_bidirectional_hist(np.asarray(long_arr), nframes,
+    lng = calc_bidirectional_hist(long_arr, nframes,
                                   perc_lo=perc_lo, perc_hi=perc_hi, nbins=nbins)
     # the reference drops the last edge here (analysis.py:325-326); the viz
     # layer reconstructs it — preserved for artifact compatibility

@@ -44,8 +44,9 @@ def _detect(ds, gate: str, cc_config, proc_config):
 
 
 def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
-                 analysis_config, save_dir):
-    masked = ds.get_masked_arr(param, label)
+                 analysis_config, save_dir, masked=None):
+    if masked is None:
+        masked = ds.get_masked_arr(param, label)
     _mag, _ang, _me, _ae, perc_hi = calculate_3dhist(
         masked, ds.nframes, nbins=analysis_config.nbins,
         percentile=analysis_config.percentile)
@@ -61,9 +62,10 @@ def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
 
 
 def _radlong_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
-                   analysis_config, save_dir):
-    param_arr = ds.get_masked_arr(param, label)
-    av_masks = ds.get_mask("av")
+                   analysis_config, save_dir, masked=None, av_masks=None):
+    param_arr = masked if masked is not None else ds.get_masked_arr(param, label)
+    if av_masks is None:
+        av_masks = ds.get_mask("av")
     data = calculate_3dhist_radlong(
         param_arr, av_masks, ds.nframes, nbins=analysis_config.nbins,
         perc_lo=analysis_config.perc_lo, perc_hi=analysis_config.perc_hi,
@@ -105,6 +107,15 @@ def analyze_cohort_file(filepath: str, param: str = "velocity",
 
     with OpticalFlowDataset(filepath) as ds:
         rows = {}
+        # upload the masked parameter once and reuse it across both gates
+        # and both analyses (the same (N, H, W, 2) array otherwise rides
+        # the device link four times per file — seconds on tunnel-class
+        # links)
+        import jax.numpy as jnp
+
+        masked_dev = jnp.asarray(ds.get_masked_arr(param, label))
+        av_masks = (ds.get_mask("av") if "av" in ds.accepted_labels
+                    else None)
         for gate, cc_cfg in (("ecg_lazy", ecg_gated_config()),
                              ("arterial", arterial_gated_config())):
             gate_key = "ecg" if gate == "ecg_lazy" else "art"
@@ -115,7 +126,7 @@ def analyze_cohort_file(filepath: str, param: str = "velocity",
                                        cc_cfg, proc_gate)
                 rows[f"{gate_key}_total"] = _total_stats(
                     ds, param, label, gate, sys_f, dia_f, manager,
-                    analysis_config, save_dir)
+                    analysis_config, save_dir, masked=masked_dev)
             except Exception as exc:
                 logger.warning("%s %s total failed: %s", filepath, gate_key, exc)
                 rows[f"{gate_key}_total"] = _ZERO9
@@ -127,7 +138,8 @@ def analyze_cohort_file(filepath: str, param: str = "velocity",
                                            cc_cfg, proc_gate)
                     rows[f"{gate_key}_radlong"] = _radlong_stats(
                         ds, param, label, gate, sys_f, dia_f, manager,
-                        analysis_config, save_dir)
+                        analysis_config, save_dir, masked=masked_dev,
+                        av_masks=av_masks)
                 else:
                     rows[f"{gate_key}_radlong"] = _ZERO18
             except Exception as exc:

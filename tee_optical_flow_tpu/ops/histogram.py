@@ -74,6 +74,33 @@ def masked_percentile(frames: jnp.ndarray, percentiles: jnp.ndarray):
     return vals, counts > 0
 
 
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def framewise_hist_pack(frames: jnp.ndarray, percentiles: jnp.ndarray,
+                        nbins: int = 1000) -> jnp.ndarray:
+    """One-readback pack of the whole per-frame analysis pass: nonzero
+    histogram over the clip-global range, nonzero percentiles, validity,
+    and the global min/max — one device program, one array out.
+
+    The analysis host (batch/cohort.py) runs over a high-latency device
+    link in some deployments (~0.3 s per round trip through the axon
+    tunnel); issuing min/max/hist/percentile as separate readbacks made
+    latency, not bandwidth, the cohort bottleneck.
+
+    Returns (N+1, nbins + P + 1) float32: rows 0..N-1 are
+    [hist | percentile values | valid], row N is [gmin, gmax, 0...].
+    """
+    frames = frames.astype(jnp.float32)
+    gmin = jnp.min(frames)
+    gmax = jnp.max(frames)
+    freq = masked_histogram(frames, gmin, gmax, nbins=nbins)
+    vals, valid = masked_percentile(frames, percentiles)
+    rows = jnp.concatenate(
+        [freq, vals, valid.astype(jnp.float32)[:, None]], axis=1)
+    tail = jnp.zeros((1, rows.shape[1]), jnp.float32)
+    tail = tail.at[0, 0].set(gmin).at[0, 1].set(gmax)
+    return jnp.concatenate([rows, tail], axis=0)
+
+
 def histogram_edges(lo: float, hi: float, nbins: int) -> np.ndarray:
     """np.histogram's bin edges for the global range (host helper)."""
     return np.linspace(lo, hi, nbins + 1)
