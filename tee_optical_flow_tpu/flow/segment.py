@@ -16,9 +16,11 @@ Python loops replaced by batched device kernels:
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,23 +54,38 @@ def clean_mask(arr: np.ndarray, mode: str = "A4C", verbose: bool = False,
                      list(LABEL_MAPS.keys()))
         return None
 
+    # all labels cleaned in ONE device program with ONE download: per-label
+    # moving-average + fill/remove are independent, so they vmap over the
+    # label axis; bkgd = NOT(union) also lands in the same pack
+    # (separate per-label round trips cost ~0.3 s each on tunnel links)
     arr_dev = jnp.asarray(np.asarray(arr))
+    values = np.asarray(list(label_map.values()), arr_dev.dtype.type)
+    packed = np.asarray(_clean_all_labels(
+        arr_dev, jnp.asarray(values), n=config.moving_avg_window,
+        threshold=config.moving_avg_threshold,
+        min_size=config.min_mask_size))
     mask_dict: Dict[str, np.ndarray] = {}
-    aggregate = np.zeros(arr.shape, dtype=bool)
-    for name, value in label_map.items():
-        onehot = arr_dev == value
-        avg = moving_avg_mask(onehot, n=config.moving_avg_window,
-                              threshold=config.moving_avg_threshold)
-        clean = np.asarray(clean_binary_stack(avg, min_size=config.min_mask_size))
-        aggregate |= clean
-        mask_dict[name] = np.repeat(clean[:, :, :, None], 2, axis=3)
+    for i, name in enumerate(label_map):
+        mask_dict[name] = np.repeat(packed[i][:, :, :, None], 2, axis=3)
         if verbose:
             logger.debug("For mask %s, produced cleaned mask arr of shape %s",
                          name, mask_dict[name].shape)
-
-    bkgd = ~aggregate
-    mask_dict["bkgd"] = np.repeat(bkgd[:, :, :, None], 2, axis=3)
+    mask_dict["bkgd"] = np.repeat(packed[-1][:, :, :, None], 2, axis=3)
     return mask_dict
+
+
+@functools.partial(jax.jit, static_argnames=("n", "threshold", "min_size"))
+def _clean_all_labels(arr_dev, values, *, n, threshold, min_size):
+    """(N, H, W) labels + (L,) values -> (L+1, N, H, W) bool: each label's
+    cleaned mask followed by bkgd = NOT(union of cleaned labels)."""
+    def one(value):
+        onehot = arr_dev == value
+        avg = moving_avg_mask(onehot, n=n, threshold=threshold)
+        return clean_binary_stack(avg, min_size=min_size)
+
+    clean = jax.vmap(one)(values)
+    bkgd = ~jnp.any(clean, axis=0)
+    return jnp.concatenate([clean, bkgd[None]], axis=0)
 
 
 def predict_movie_thres(nparr: np.ndarray, verbose: bool = False,

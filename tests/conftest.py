@@ -33,8 +33,12 @@ assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a shared session stream made every
+    # test's data depend on which tests ran before it (any -k selection
+    # reshuffled the draws — test_bucketing once failed only in the full
+    # run, on an unlucky texture it never saw standalone)
     return np.random.default_rng(0)
 
 
