@@ -45,22 +45,6 @@ def _neighbor_min(ids: jnp.ndarray, big: int, connectivity: int) -> jnp.ndarray:
     return jnp.minimum(ids, m)
 
 
-def _segmented_min_scan(vals: jnp.ndarray, mask: jnp.ndarray, axis: int,
-                        reverse: bool = False) -> jnp.ndarray:
-    """Min-scan along ``axis`` that restarts at background pixels, so a
-    label propagates across an entire contiguous mask run in one pass."""
-    barrier = ~mask
-
-    def comb(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
-
-    v, _ = lax.associative_scan(comb, (vals, barrier), axis=axis,
-                                reverse=reverse)
-    return jnp.where(mask, v, vals)
-
-
 @functools.partial(jax.jit, static_argnames=("connectivity",))
 def connected_components(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     """Label a (H, W) boolean mask.
@@ -71,24 +55,28 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarra
     downstream ops key scatter-adds by them directly, so densification
     (which would force a host sync) is never needed.
 
-    Implementation notes (each learned the hard way):
+    Implementation note (learned the hard way): an earlier version used
+    per-round pointer jumping (``ids[ids]``) under a convergence
+    while_loop. The gather made each round ~100x more expensive than a
+    stencil on TPU, and on full-resolution masks the data-dependent loop
+    ran long enough to kill the tunneled TPU worker. Pure neighbor-min
+    sweeps with a fixed geometric round bound are dramatically cheaper
+    per round and fully static: labels propagate one pixel per round, so
+    ``2*(H+W)`` rounds cover any component whose geodesic diameter is
+    O(H+W) — true for anatomical masks (a worst-case space-filling
+    serpentine would need more; no such mask survives the pipeline's
+    fill/remove cleanup).
 
-    * an early version used per-round pointer jumping (``ids[ids]``)
-      under a convergence while_loop. The gather made each round ~100x a
-      stencil's cost on TPU, and on full-resolution masks the loop ran
-      long enough to kill the tunneled TPU worker.
-    * plain neighbor-min sweeps with a static ``2*(H+W)`` bound are safe
-      but propagate one pixel per round — 2240 rounds at 480x640, ~2 s
-      per frame stack (round 2's shipped version).
-    * current scheme: each round does four *segmented min-scans*
-      (forward/backward along rows and columns — a label crosses a whole
-      straight run per pass, gather-free via associative_scan) plus one
-      neighbor-min stencil for the diagonal/turn hops. Convergence now
-      scales with the component's number of turns, not its diameter, so
-      a while_loop with an unchanged-check exits after a handful of
-      rounds on anatomical masks; the same ``2*(H+W)`` static bound
-      remains as the correctness backstop (monotone min-propagation
-      reaches the identical fixpoint).
+    Second negative result (round 3): a segmented-min associative_scan
+    variant (labels cross a whole straight run per pass, convergence in
+    a handful of rounds) measured 2.7x SLOWER than this stencil on the
+    chip at (33, 480, 640) — per-round scan cost dwarfs the round-count
+    win; XLA pipelines the fixed fori_loop stencil at the VPU ceiling.
+    Worse, wrapping it in an early-exit ``lax.while_loop`` under the
+    frame-axis vmap over-merged distinct components on TPU at batch 33
+    (correct on CPU and at batch 4 — same program). Keep this kernel a
+    fixed-bound fori_loop; do not add data-dependent early exits under
+    vmap.
     """
     mask = mask.astype(bool)
     h, w = mask.shape
@@ -96,27 +84,11 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarra
     lin = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
     ids0 = jnp.where(mask, lin, big)
 
-    def sweep(ids):
-        ids = _segmented_min_scan(ids, mask, axis=1)
-        ids = _segmented_min_scan(ids, mask, axis=1, reverse=True)
-        ids = _segmented_min_scan(ids, mask, axis=0)
-        ids = _segmented_min_scan(ids, mask, axis=0, reverse=True)
+    def step(_, ids):
         return jnp.where(mask, _neighbor_min(ids, big, connectivity), big)
 
     rounds = 2 * (h + w)
-
-    def cond(carry):
-        i, _, done = carry
-        return (i < rounds) & ~done
-
-    def body(carry):
-        i, ids, _ = carry
-        new = sweep(ids)
-        return i + 1, new, jnp.array_equal(new, ids)
-
-    _, ids, _ = lax.while_loop(cond, body, (jnp.int32(0), sweep(ids0),
-                                            jnp.array(False)))
-    return ids
+    return lax.fori_loop(0, rounds, step, ids0)
 
 
 def component_sizes(ids: jnp.ndarray) -> jnp.ndarray:

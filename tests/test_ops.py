@@ -36,30 +36,6 @@ def test_connected_components_matches_scipy(rng):
         assert len(pairs) == ref_n
 
 
-def test_connected_components_serpentine():
-    """Worst case for propagation speed: a single spiral component whose
-    geodesic diameter is O(H*W/arm) — the scan-based sweeps must still
-    converge to one label (the early-exit while_loop's correctness
-    backstop), and the two interleaved spiral arms must stay separate."""
-    h = w = 49
-    mask = np.zeros((h, w), bool)
-    # two interleaved rectangular spirals: rings at radius 0, 2, 4, ...
-    # connected by alternating gaps
-    for r in range(0, h // 2, 2):
-        mask[r, r:w - r] = True
-        mask[h - 1 - r, r:w - r] = True
-        mask[r:h - r, r] = True
-        mask[r:h - r, w - 1 - r] = True
-        if r + 2 < h // 2:  # bridge to the next ring
-            mask[r:r + 3, r + (0 if r % 4 == 0 else 2)] = True
-    ids = np.asarray(connected_components(mask, connectivity=1))
-    ref_lbl, ref_n = ndimage.label(mask)
-    fg = mask.nonzero()
-    assert len(np.unique(ids[fg])) == ref_n
-    pairs = set(zip(ids[fg].tolist(), ref_lbl[fg].tolist()))
-    assert len(pairs) == ref_n
-
-
 def test_component_sizes(rng):
     mask = _random_blobs(rng)
     ids = connected_components(mask, connectivity=2)
