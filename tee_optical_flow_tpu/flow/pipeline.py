@@ -42,7 +42,7 @@ from ..io.dicom import extract_metadata, read_dicom_clip
 from ..io.hdf5 import save_optical_flow_hdf5
 from ..io.waveforms import load_all_waveforms
 from ..ops.deepflow import deepflow_clip_flow
-from ..ops.imaging import img2uint8_jnp, rgb2gray
+from ..ops.imaging import gray_from_clip, img2uint8_jnp
 from ..ops.saliency import fine_grained_saliency
 from ..ops.tvl1 import tvl1_clip_flow, tvl1_flow_pairs
 from ..utils import trace_stage
@@ -259,15 +259,28 @@ def process_video(dcm_path: str, save_path: str,
         nparr = pad_clip_frames(
             nparr, bucketed_frame_count(nframes, config.frame_bucket))
 
+    # --- ONE clip upload feeds segmentation AND flow (the link moves
+    # ~30 MB/s here; the old per-stage uploads moved the clip 2-3x). Echo
+    # DICOMs are RGB-coded grayscale almost always: when R==G==B, upload
+    # a single channel (1/3 the bytes; luma of R=G=B is the channel). ---
+    is_gray = (nparr.ndim == 4 and nparr.shape[-1] == 3
+               and np.array_equal(nparr[..., 0], nparr[..., 1])
+               and np.array_equal(nparr[..., 0], nparr[..., 2]))
+    clip_dev = jnp.asarray(np.ascontiguousarray(nparr[..., 0]) if is_gray
+                           else nparr)
+
     # --- masks (device, batched) ---
     with trace_stage("segmentation"):
         if mode in ("A4C", "RVIO_2class", "MouseRV_A4C"):
             if segmentor_model is None:
                 raise ConfigurationError(f"mode={mode} requires a segmentor model")
             mask_dict = predict_movie(nparr, segmentor_model, mode=mode,
-                                      verbose=verbose, config=config)
+                                      verbose=verbose, config=config,
+                                      _clip_dev=clip_dev)
         elif mode == "otsu":
-            mask_dict = predict_movie_thres(nparr, verbose=verbose, config=config)
+            mask_dict = predict_movie_thres(
+                nparr, verbose=verbose, config=config,
+                _gray_dev=gray_from_clip(clip_dev))
         else:
             raise ConfigurationError(
                 f"Input for mode must be [A4C, otsu, RVIO_2class, MouseRV_A4C], not {mode}.")
@@ -276,7 +289,7 @@ def process_video(dcm_path: str, save_path: str,
 
     # --- flow input prep (device, batched over frames) ---
     with trace_stage("flow_input_prep"):
-        gray = rgb2gray(jnp.asarray(nparr))
+        gray = gray_from_clip(clip_dev)
         if no_saliency:
             # per-frame img2uint8 (reference :586-588 normalizes each frame)
             images = jax.vmap(img2uint8_jnp)(gray)

@@ -24,7 +24,9 @@ import numpy as np
 
 from ..config import OpticalFlowCalculationConfig, default_optical_flow_config
 from ..ops.imaging import rgb2gray
-from ..ops.morphology import clean_binary_stack, moving_avg_mask
+from ..ops.morphology import (
+    clean_binary_stack, moving_avg_mask, pack_mask_bits, unpack_mask_bits,
+)
 from ..ops.otsu import otsu_mask_stack
 
 logger = logging.getLogger(__name__)
@@ -59,8 +61,11 @@ def clean_mask(arr: np.ndarray, mode: str = "A4C", verbose: bool = False,
     # 2 labels, on chip: blocking per-label 4.25 s, this 2.62 s. (Fusing
     # all labels into one label-vmapped program was tried and measured
     # 9.5 s — the big vmapped program compiles to slower code than the
-    # per-label ones, dwarfing the round-trip savings.)
-    arr_dev = jnp.asarray(np.asarray(arr))
+    # per-label ones, dwarfing the round-trip savings.) Masks download
+    # bit-packed: 8x fewer bytes on a ~30 MB/s link. ``arr`` may already
+    # be a device array (the SAM label path never leaves the chip).
+    arr_dev = arr if isinstance(arr, jnp.ndarray) else \
+        jnp.asarray(np.asarray(arr))
     cleans = []
     for value in label_map.values():
         avg = moving_avg_mask(arr_dev == value, n=config.moving_avg_window,
@@ -69,41 +74,57 @@ def clean_mask(arr: np.ndarray, mode: str = "A4C", verbose: bool = False,
     union = cleans[0]
     for clean in cleans[1:]:
         union = union | clean
-    bkgd_dev = ~union
+    shape = cleans[0].shape
+    packs = [pack_mask_bits(c) for c in cleans] + [pack_mask_bits(~union)]
 
     mask_dict: Dict[str, np.ndarray] = {}
-    for name, clean in zip(label_map, cleans):
-        mask_dict[name] = np.repeat(np.asarray(clean)[:, :, :, None], 2,
-                                    axis=3)
-        if verbose:
+    for name, pack in zip(list(label_map) + ["bkgd"], packs):
+        mask = unpack_mask_bits(pack, shape)
+        mask_dict[name] = np.repeat(mask[:, :, :, None], 2, axis=3)
+        if verbose and name != "bkgd":
             logger.debug("For mask %s, produced cleaned mask arr of shape %s",
                          name, mask_dict[name].shape)
-    mask_dict["bkgd"] = np.repeat(np.asarray(bkgd_dev)[:, :, :, None], 2,
-                                  axis=3)
     return mask_dict
 
 
 def predict_movie_thres(nparr: np.ndarray, verbose: bool = False,
-                        config: Optional[OpticalFlowCalculationConfig] = None
+                        config: Optional[OpticalFlowCalculationConfig] = None,
+                        _gray_dev: Optional[jnp.ndarray] = None
                         ) -> Dict[str, np.ndarray]:
     """Otsu-threshold masks for the no-SAM path
-    (reference calculate_optical_flow.py:184-213)."""
+    (reference calculate_optical_flow.py:184-213).
+
+    ``_gray_dev`` lets the pipeline pass its already-device-resident
+    grayscale clip so this path adds no second clip upload."""
     if config is None:
         config = default_optical_flow_config()
-    gray = rgb2gray(jnp.asarray(np.asarray(nparr)))
+    gray = (_gray_dev if _gray_dev is not None
+            else rgb2gray(jnp.asarray(np.asarray(nparr))))
     raw = otsu_mask_stack(gray)
     clean = clean_binary_stack(raw, min_size=config.min_mask_size)
-    avg = np.asarray(moving_avg_mask(clean, n=config.moving_avg_window,
-                                     threshold=config.moving_avg_threshold))
+    avg_dev = moving_avg_mask(clean, n=config.moving_avg_window,
+                              threshold=config.moving_avg_threshold)
+    avg = unpack_mask_bits(pack_mask_bits(avg_dev), avg_dev.shape)
     return {"otsu": np.repeat(avg[:, :, :, None], 2, axis=3)}
 
 
 def predict_movie(nparr: np.ndarray, segmentor: Callable[[np.ndarray], np.ndarray],
                   mode: str = "A4C", verbose: bool = False,
-                  config: Optional[OpticalFlowCalculationConfig] = None
+                  config: Optional[OpticalFlowCalculationConfig] = None,
+                  _clip_dev: Optional[jnp.ndarray] = None
                   ) -> Optional[Dict[str, np.ndarray]]:
     """Run a clip segmentor ((N, H, W, 3) uint8 -> (N, H, W) labels) and
     clean (reference calculate_optical_flow.py:215-241). The segmentor is
-    the batched Flax SAM inference graph — no per-frame host round-trips."""
-    labels = np.asarray(segmentor(np.asarray(nparr)))
+    the batched Flax SAM inference graph — no per-frame host round-trips.
+
+    When the segmentor exposes ``labels_device`` (make_clip_segmentor
+    does) and the pipeline hands over its device-resident clip via
+    ``_clip_dev``, the label movie never touches the host: segmentation,
+    NEAREST upsample and mask cleanup all stay on chip."""
+    device_fn = getattr(segmentor, "labels_device", None)
+    if device_fn is not None and _clip_dev is not None:
+        h, w = np.asarray(nparr).shape[1:3]
+        labels = device_fn(_clip_dev, (h, w))
+    else:
+        labels = np.asarray(segmentor(np.asarray(nparr)))
     return clean_mask(labels, mode, verbose, config=config)

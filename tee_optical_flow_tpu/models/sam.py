@@ -91,6 +91,58 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         logits, _ = model.apply(variables, x, multimask_output=True)
         return jnp.argmax(logits, axis=1).astype(jnp.uint8)  # (B, 256, 256)
 
+    @functools.partial(jax.jit, static_argnames=())
+    def run_batch_gray(batch_u8_gray):
+        # (B, H, W) uint8 single channel: resize before the channel
+        # broadcast (1/3 the resize work; echo clips are RGB-coded gray)
+        s = model.image_size
+        x = batch_u8_gray.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x, (x.shape[0], s, s), method="bilinear")
+        x = (x[..., None] - IMAGENET_MEAN) / IMAGENET_STD
+        logits, _ = model.apply(variables, x, multimask_output=True)
+        return jnp.argmax(logits, axis=1).astype(jnp.uint8)
+
+    def _batch_starts(n: int):
+        """Chunk starts with the shifted (overlapping) tail so every
+        chunk has the full micro_batch shape (one compiled program)."""
+        starts = []
+        for start in range(0, n, micro_batch):
+            starts.append(min(start, n - micro_batch) if n >= micro_batch
+                          else 0)
+        return starts
+
+    def _stitch(outs, n: int):
+        pred = jnp.concatenate(outs, axis=0)
+        if n < micro_batch:  # single padded batch: drop the padding
+            return pred[:n]
+        if pred.shape[0] != n:  # drop the overlap of the shifted tail
+            tail_keep = n - (pred.shape[0] - micro_batch)
+            return jnp.concatenate([pred[:-micro_batch], pred[-tail_keep:]],
+                                   axis=0)
+        return pred
+
+    def labels_device(clip_dev: jnp.ndarray,
+                      out_hw: Tuple[int, int]) -> jnp.ndarray:
+        """Device-resident fast path: (N, H, W[, 3]) uint8 ALREADY on
+        device -> (N, th, tw) uint8 labels, never touching the host (no
+        re-upload, no label download; flow/segment.predict_movie feeds
+        the result straight into the on-device mask cleanup)."""
+        n = clip_dev.shape[0]
+        run = run_batch_gray if clip_dev.ndim == 3 else run_batch
+        outs = []
+        for s in _batch_starts(n):
+            chunk = clip_dev[s:s + micro_batch]
+            if chunk.shape[0] < micro_batch:
+                reps = micro_batch - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
+            outs.append(run(chunk))
+        pred = _stitch(outs, n)
+        th, tw = out_hw
+        yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
+        xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)
+        return jnp.take(jnp.take(pred, yi, axis=1), xi, axis=2)
+
     def segment(frames: np.ndarray) -> np.ndarray:
         frames = np.asarray(frames)
         n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
@@ -122,4 +174,5 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)
         return pred[:, yi[:, None], xi[None, :]]
 
+    segment.labels_device = labels_device
     return segment

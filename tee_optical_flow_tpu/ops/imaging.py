@@ -32,6 +32,19 @@ def rgb2gray(frames: jnp.ndarray) -> jnp.ndarray:
     return frames @ _LUMA
 
 
+def gray_from_clip(clip: jnp.ndarray) -> jnp.ndarray:
+    """Luma for a clip that is either (..., H, W, 3) RGB or already a
+    single (..., H, W) channel (a grayscale clip uploaded without its two
+    redundant RGB copies — the luma weights sum to 1, so rgb2gray of
+    R=G=B frames IS the channel)."""
+    clip = jnp.asarray(clip)
+    if clip.ndim >= 3 and clip.shape[-1] == 3:
+        return rgb2gray(clip)
+    if clip.dtype == jnp.uint8:
+        return clip.astype(jnp.float32) / 255.0
+    return clip.astype(jnp.float32)
+
+
 def img2uint8_jnp(img: jnp.ndarray) -> jnp.ndarray:
     """Min-shift, max-scale to [0, 255] (reference optical_flow_utils.py:30-31
     semantics), kept float32 on device — downstream flow math wants floats,

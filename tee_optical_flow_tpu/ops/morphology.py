@@ -204,3 +204,17 @@ def largest_centroid_series(mask_stack: jnp.ndarray):
 def first_area_series(mask_stack: jnp.ndarray):
     """Per-frame skimage-label-1 areas over a (N, H, W) stack."""
     return jax.vmap(label_first_area)(mask_stack)
+
+
+@jax.jit
+def pack_mask_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """Flatten a boolean array and pack 8 pixels/byte (big-endian bit
+    order, numpy-compatible). Downloading packed masks moves 8x fewer
+    bytes over the device link; pair with :func:`unpack_mask_bits`."""
+    return jnp.packbits(mask.astype(bool).ravel())
+
+
+def unpack_mask_bits(packed, shape) -> np.ndarray:
+    """Host-side inverse of :func:`pack_mask_bits` -> bool ndarray."""
+    flat = np.unpackbits(np.asarray(packed), count=int(np.prod(shape)))
+    return flat.astype(bool).reshape(shape)

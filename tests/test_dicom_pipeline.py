@@ -247,3 +247,50 @@ def test_process_folder_write_failure_is_isolated(tmp_path, rng):
                             recalculate=True, mode="otsu", no_saliency=True,
                             include_waveforms=False, config=cfg)
     assert len(errors) == 1 and errors[0].endswith("a.dcm")
+
+
+def test_pipeline_true_rgb_clip_matches_gray_coded(tmp_path, rng):
+    """The single-channel-upload fast path only triggers for R==G==B
+    clips; a clip with genuinely distinct channels must take the RGB
+    path and produce flow from the same luma (a gray-coded copy of that
+    luma is the ground truth)."""
+    import h5py
+
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    from tee_optical_flow_tpu.ops.imaging import rgb2gray
+
+    from scipy import ndimage
+
+    n, h, w = 5, 40, 44
+    tex = ndimage.gaussian_filter(rng.uniform(size=(h, w)), 2.0)
+    tex = (tex - tex.min()) / (tex.max() - tex.min()) * 0.7
+    frames = np.stack([ndimage.shift(tex, (0.4 * i, -0.3 * i), order=3,
+                                     mode="nearest") for i in range(n)])
+    # genuinely distinct channels (constant chroma offsets) whose luma
+    # still equals the moving texture plus a constant
+    rgb = (np.stack([frames + 0.10, frames + 0.02, frames + 0.20],
+                    axis=-1) * 255).astype(np.uint8)
+    assert not np.array_equal(rgb[..., 0], rgb[..., 1])
+    luma = np.asarray(rgb2gray(rgb))
+    gray_coded = np.repeat(
+        np.clip(luma * 255.0, 0, 255).astype(np.uint8)[..., None], 3, -1)
+
+    cfg = OpticalFlowCalculationConfig(
+        min_mask_size=20, tvl1_nscales=2, tvl1_zoom_factor=0.5,
+        tvl1_warps=2, tvl1_outer_iterations=2, tvl1_inner_iterations=10,
+        tvl1_median_filtering=False)
+    meta = {"pixel_spacing": 0.05, "frame_rate": 30.0, "R_times": None,
+            "R_wave_data_present": False}
+    outs = {}
+    for tag, clip in (("rgb", rgb), ("gray", gray_coded)):
+        path = str(tmp_path / f"{tag}.hdf5")
+        process_video(f"{tag}.dcm", path, None, verbose=False, mode="otsu",
+                      no_saliency=True, OF_algo="TVL1",
+                      include_waveforms=False, config=cfg,
+                      _clip_override=clip, _metadata_override=meta)
+        with h5py.File(path) as f:
+            outs[tag] = np.asarray(f["flow"]).astype(np.float32)
+    # the uint8 round-trip of the gray-coded clip quantizes the luma, so
+    # allow a small flow tolerance (identical solver on near-equal input)
+    diff = np.abs(outs["rgb"] - outs["gray"])
+    assert np.median(diff) < 0.02, np.median(diff)

@@ -144,3 +144,22 @@ def test_clip_segmentor_tail_invariance(vit_t):
         ref = make_clip_segmentor(model, variables, micro_batch=1)(clip)
         got = make_clip_segmentor(model, variables, micro_batch=2)(clip)
         np.testing.assert_array_equal(ref, got, err_msg=f"n={n}")
+
+
+def test_clip_segmentor_device_path_matches_host(vit_t):
+    """labels_device (device-resident clip, no label download until the
+    test materializes it) must reproduce the host segment() path, for
+    both RGB and single-channel grayscale uploads."""
+    model, variables = vit_t
+    seg = make_clip_segmentor(model, variables, micro_batch=2)
+    rng = np.random.default_rng(3)
+    clip = (rng.uniform(size=(3, 40, 44, 3)) * 255).astype(np.uint8)
+    host = seg(clip)
+    dev = np.asarray(seg.labels_device(jnp.asarray(clip), (40, 44)))
+    np.testing.assert_array_equal(host, dev)
+    # grayscale fast path: R=G=B clip, single channel on device
+    gray_rgb = np.repeat(clip[..., :1], 3, axis=-1)
+    host_g = seg(gray_rgb)
+    dev_g = np.asarray(
+        seg.labels_device(jnp.asarray(gray_rgb[..., 0]), (40, 44)))
+    np.testing.assert_array_equal(host_g, dev_g)
