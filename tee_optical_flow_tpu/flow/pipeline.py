@@ -20,6 +20,7 @@ programs:
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import queue
@@ -66,6 +67,19 @@ def _wase_background(flow_pairs: jnp.ndarray, bkgd_stack: jnp.ndarray) -> jnp.nd
 
     bg = jax.vmap(one)(flow_pairs)
     return flow_pairs - bg[:, None, None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("nhw",))
+def _wase_background_packed(flow_pairs: jnp.ndarray, bkgd_bits: jnp.ndarray,
+                            nhw: Tuple[int, int, int]) -> jnp.ndarray:
+    """_wase_background with the (N, H, W) single-channel bkgd mask
+    arriving bit-packed (uint8, numpy packbits order); the two identical
+    mask channels are re-broadcast on device."""
+    n, h, w = nhw
+    flat = jnp.unpackbits(bkgd_bits, count=n * h * w)
+    bkgd = flat.reshape(n, h, w).astype(bool)
+    return _wase_background(
+        flow_pairs, jnp.repeat(bkgd[..., None], 2, axis=3))
 
 
 def compute_clip_flow(images: jnp.ndarray, of_algo: str = "TVL1",
@@ -303,8 +317,14 @@ def process_video(dcm_path: str, save_path: str,
         flow_pairs = compute_clip_flow(images, OF_algo, config)[:nframes - 1]
         gray = gray[:nframes]
         if bkgd_comp == "WASE":
-            flow_pairs = _wase_background(
-                flow_pairs, jnp.asarray(mask_dict["bkgd"]))
+            # the bkgd mask goes back up bit-packed (8 px/byte): both of
+            # its channels are identical copies, so send one channel's
+            # bits and let the kernel re-broadcast — ~24 MB -> ~1.5 MB
+            # on the ~30 MB/s link
+            bkgd = mask_dict["bkgd"]
+            flow_pairs = _wase_background_packed(
+                flow_pairs, jnp.asarray(np.packbits(bkgd[..., 0])),
+                bkgd.shape[:3])
         # unit conversion (:600) and the schema storage dtype (float16,
         # io/hdf5.py) applied on device: the device->host link moves
         # ~30 MB/s here, so halving the bytes halves the transfer; both

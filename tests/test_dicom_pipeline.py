@@ -147,6 +147,21 @@ def test_wase_background_matches_naive(rng):
         np.testing.assert_allclose(ours[i], flow[i] - bg, rtol=1e-4, atol=1e-5)
 
 
+def test_wase_background_packed_matches_unpacked(rng):
+    """The bit-packed upload variant (what process_video sends over the
+    link) must reproduce _wase_background exactly; channels of the bkgd
+    mask are identical by construction in the pipeline."""
+    from tee_optical_flow_tpu.flow.pipeline import _wase_background_packed
+
+    flow = rng.normal(size=(3, 8, 12, 2)).astype(np.float32)
+    one_ch = rng.uniform(size=(5, 8, 12)) > 0.4
+    bkgd = np.repeat(one_ch[..., None], 2, axis=3)
+    ref = np.asarray(_wase_background(flow, bkgd))
+    got = np.asarray(_wase_background_packed(
+        flow, np.packbits(one_ch), (5, 8, 12)))
+    np.testing.assert_array_equal(ref, got)
+
+
 @pytest.fixture(scope="module")
 def produced_hdf5(tmp_path_factory):
     """End-to-end: DICOM -> otsu masks -> TVL1 flow -> HDF5 (module-scoped:
