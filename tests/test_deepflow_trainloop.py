@@ -89,6 +89,7 @@ def test_coarse_match_zero_motion_and_shift(rng):
     np.testing.assert_allclose(vm[sel], 0.0)
 
 
+@pytest.mark.slow
 def test_deepflow_clip_shape(rng):
     clip = np.stack([_texture(rng, 32, 32) for _ in range(3)])
     flow = np.asarray(deepflow_clip_flow(clip, nscales=2, iters=5,

@@ -276,7 +276,10 @@ def test_pipeline_true_rgb_clip_matches_gray_coded(tmp_path, rng):
 
     from scipy import ndimage
 
-    n, h, w = 5, 40, 44
+    # same (8, 48, 48) clip shape and solver statics as produced_hdf5 so
+    # this test reuses the module's compiled solver instead of adding a
+    # fresh ~13 s compile to the fast tier
+    n, h, w = 8, 48, 48
     tex = ndimage.gaussian_filter(rng.uniform(size=(h, w)), 2.0)
     tex = (tex - tex.min()) / (tex.max() - tex.min()) * 0.7
     frames = np.stack([ndimage.shift(tex, (0.4 * i, -0.3 * i), order=3,
@@ -291,8 +294,8 @@ def test_pipeline_true_rgb_clip_matches_gray_coded(tmp_path, rng):
         np.clip(luma * 255.0, 0, 255).astype(np.uint8)[..., None], 3, -1)
 
     cfg = OpticalFlowCalculationConfig(
-        min_mask_size=20, tvl1_nscales=2, tvl1_zoom_factor=0.5,
-        tvl1_warps=2, tvl1_outer_iterations=2, tvl1_inner_iterations=10,
+        min_mask_size=50, tvl1_nscales=3, tvl1_zoom_factor=0.5,
+        tvl1_warps=3, tvl1_outer_iterations=2, tvl1_inner_iterations=15,
         tvl1_median_filtering=False)
     meta = {"pixel_spacing": 0.05, "frame_rate": 30.0, "R_times": None,
             "R_wave_data_present": False}
