@@ -75,7 +75,8 @@ def preprocess_frames(frames: jnp.ndarray, image_size: int = 1024) -> jnp.ndarra
 
 
 def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, int]] = None,
-                        micro_batch: int = 4) -> Callable[[np.ndarray], np.ndarray]:
+                        micro_batch: int = 4,
+                        mesh=None) -> Callable[[np.ndarray], np.ndarray]:
     """Build a callable (N, H, W, 3) uint8 -> (N, H, W) uint8 labels.
 
     Frames are processed in fixed-size micro-batches under one jit (padding
@@ -83,7 +84,30 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
     program; the argmax'd 256x256 prediction is NEAREST-resized to the
     original frame size, matching the reference's PIL resample
     (calculate_optical_flow.py:85-87).
+
+    With ``mesh`` the segmentor runs frame-axis data-parallel over the
+    mesh's 'data' axis: parameters replicate once, each micro-batch
+    shards its frame axis, XLA partitions the encoder with zero
+    collectives (frames are independent). This is the multi-chip serving
+    analog of flow/pipeline.compute_clip_flow_sharded — the reference's
+    2-GPU torch split (DDP_splitgpu image_encoder.py:99-104) pinned
+    *layers* to devices; sharding the embarrassingly-parallel frame axis
+    is the mapping that actually scales on a TPU pod slice.
     """
+    if mesh is not None:
+        from ..exceptions import ShardingError
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        if micro_batch % mesh.shape["data"]:
+            raise ShardingError(
+                f"micro_batch={micro_batch} not divisible by the mesh "
+                f"data axis ({mesh.shape['data']})")
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+
+        def _place(chunk):
+            return jax.device_put(chunk, batch_sharding(mesh, np.ndim(chunk)))
+    else:
+        _place = jax.device_put
 
     @functools.partial(jax.jit, static_argnames=())
     def run_batch(batch_u8):
@@ -136,7 +160,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                 reps = micro_batch - chunk.shape[0]
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
-            outs.append(run(chunk))
+            outs.append(run(_place(chunk)))
         pred = _stitch(outs, n)
         th, tw = out_hw
         yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
@@ -160,7 +184,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                 reps = micro_batch - chunk.shape[0]
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], reps, 0)], 0)
-            chunks.append(jax.device_put(chunk))
+            chunks.append(_place(chunk))
         outs = [run_batch(c) for c in chunks]
         pred = np.concatenate([np.asarray(o) for o in outs], axis=0)
         if n < micro_batch:  # single padded batch: drop the padding

@@ -107,3 +107,28 @@ def test_sharded_deepflow_branch(rng):
                                                 config=cfg))
     assert flow.shape == (3, 32, 32, 2)
     assert np.isfinite(flow).all()
+
+
+@pytest.mark.slow
+def test_sharded_clip_segmentor_matches_single(rng):
+    """Frame-axis DP segmentation over the 8-way mesh: parameters
+    replicated, micro-batch frame axis sharded over 'data' — labels must
+    equal the single-device segmentor's exactly, for both the host and
+    the device-resident (labels_device) paths."""
+    from tee_optical_flow_tpu.exceptions import ShardingError
+    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+    from tee_optical_flow_tpu.models.sam import make_clip_segmentor
+
+    model, variables = build_sam_vit_t(num_classes=3, image_size=64, seed=0)
+    mesh = make_mesh(data_axis=8, model_axis=1)
+    clip = (rng.uniform(size=(10, 40, 44, 3)) * 255).astype(np.uint8)
+
+    single = make_clip_segmentor(model, variables, micro_batch=8)
+    sharded = make_clip_segmentor(model, variables, micro_batch=8, mesh=mesh)
+    np.testing.assert_array_equal(single(clip), sharded(clip))
+    np.testing.assert_array_equal(
+        np.asarray(single.labels_device(jnp.asarray(clip[..., 0]), (40, 44))),
+        np.asarray(sharded.labels_device(jnp.asarray(clip[..., 0]), (40, 44))))
+
+    with pytest.raises(ShardingError):
+        make_clip_segmentor(model, variables, micro_batch=6, mesh=mesh)
