@@ -282,6 +282,7 @@ def process_video(dcm_path: str, save_path: str,
                and np.array_equal(nparr[..., 0], nparr[..., 2]))
     clip_dev = jnp.asarray(np.ascontiguousarray(nparr[..., 0]) if is_gray
                            else nparr)
+    gray = gray_from_clip(clip_dev)  # shared by otsu masks and flow prep
 
     # --- masks (device, batched) ---
     with trace_stage("segmentation"):
@@ -293,8 +294,7 @@ def process_video(dcm_path: str, save_path: str,
                                       _clip_dev=clip_dev)
         elif mode == "otsu":
             mask_dict = predict_movie_thres(
-                nparr, verbose=verbose, config=config,
-                _gray_dev=gray_from_clip(clip_dev))
+                nparr, verbose=verbose, config=config, _gray_dev=gray)
         else:
             raise ConfigurationError(
                 f"Input for mode must be [A4C, otsu, RVIO_2class, MouseRV_A4C], not {mode}.")
@@ -303,7 +303,6 @@ def process_video(dcm_path: str, save_path: str,
 
     # --- flow input prep (device, batched over frames) ---
     with trace_stage("flow_input_prep"):
-        gray = gray_from_clip(clip_dev)
         if no_saliency:
             # per-frame img2uint8 (reference :586-588 normalizes each frame)
             images = jax.vmap(img2uint8_jnp)(gray)

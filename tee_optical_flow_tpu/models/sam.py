@@ -135,22 +135,31 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                           else 0)
         return starts
 
-    def _stitch(outs, n: int):
-        pred = jnp.concatenate(outs, axis=0)
+    def _stitch(outs, n: int, xp):
+        """Concatenate chunk outputs and drop the shifted-tail overlap /
+        short-clip padding; ``xp`` is np (host path) or jnp (device)."""
+        pred = xp.concatenate(outs, axis=0)
         if n < micro_batch:  # single padded batch: drop the padding
             return pred[:n]
         if pred.shape[0] != n:  # drop the overlap of the shifted tail
             tail_keep = n - (pred.shape[0] - micro_batch)
-            return jnp.concatenate([pred[:-micro_batch], pred[-tail_keep:]],
-                                   axis=0)
+            return xp.concatenate([pred[:-micro_batch], pred[-tail_keep:]],
+                                  axis=0)
         return pred
 
+    def _nearest_idx(pred_hw, th: int, tw: int):
+        yi = (np.arange(th) * pred_hw[0] // th).clip(0, pred_hw[0] - 1)
+        xi = (np.arange(tw) * pred_hw[1] // tw).clip(0, pred_hw[1] - 1)
+        return yi, xi
+
     def labels_device(clip_dev: jnp.ndarray,
-                      out_hw: Tuple[int, int]) -> jnp.ndarray:
+                      clip_hw: Tuple[int, int]) -> jnp.ndarray:
         """Device-resident fast path: (N, H, W[, 3]) uint8 ALREADY on
         device -> (N, th, tw) uint8 labels, never touching the host (no
         re-upload, no label download; flow/segment.predict_movie feeds
-        the result straight into the on-device mask cleanup)."""
+        the result straight into the on-device mask cleanup). A
+        constructor-level ``out_hw`` overrides ``clip_hw``, matching the
+        host path's resolution contract."""
         n = clip_dev.shape[0]
         run = run_batch_gray if clip_dev.ndim == 3 else run_batch
         outs = []
@@ -161,10 +170,9 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
             outs.append(run(_place(chunk)))
-        pred = _stitch(outs, n)
-        th, tw = out_hw
-        yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
-        xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)
+        pred = _stitch(outs, n, jnp)
+        th, tw = out_hw or clip_hw
+        yi, xi = _nearest_idx(pred.shape[1:3], th, tw)
         return jnp.take(jnp.take(pred, yi, axis=1), xi, axis=2)
 
     def segment(frames: np.ndarray) -> np.ndarray:
@@ -177,8 +185,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         # links this runs over move tens of MB/s; a single blocking
         # upload serialized ~2/3 of the clip time, measured on v5e)
         chunks = []
-        for start in range(0, n, micro_batch):
-            s = min(start, n - micro_batch) if n >= micro_batch else 0
+        for s in _batch_starts(n):
             chunk = frames[s:s + min(micro_batch, n)]
             if chunk.shape[0] < micro_batch:  # clip shorter than one batch
                 reps = micro_batch - chunk.shape[0]
@@ -186,16 +193,9 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                     [chunk, np.repeat(chunk[-1:], reps, 0)], 0)
             chunks.append(_place(chunk))
         outs = [run_batch(c) for c in chunks]
-        pred = np.concatenate([np.asarray(o) for o in outs], axis=0)
-        if n < micro_batch:  # single padded batch: drop the padding
-            pred = pred[:n]
-        elif pred.shape[0] != n:  # drop the overlap of the shifted tail batch
-            tail_keep = n - (pred.shape[0] - micro_batch)
-            pred = np.concatenate(
-                [pred[:-micro_batch], pred[-tail_keep:]], axis=0)
+        pred = _stitch([np.asarray(o) for o in outs], n, np)
         # NEAREST upsample back to the clip resolution
-        yi = (np.arange(th) * pred.shape[1] // th).clip(0, pred.shape[1] - 1)
-        xi = (np.arange(tw) * pred.shape[2] // tw).clip(0, pred.shape[2] - 1)
+        yi, xi = _nearest_idx(pred.shape[1:3], th, tw)
         return pred[:, yi[:, None], xi[None, :]]
 
     segment.labels_device = labels_device

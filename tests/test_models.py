@@ -163,3 +163,17 @@ def test_clip_segmentor_device_path_matches_host(vit_t):
     dev_g = np.asarray(
         seg.labels_device(jnp.asarray(gray_rgb[..., 0]), (40, 44)))
     np.testing.assert_array_equal(host_g, dev_g)
+
+
+def test_clip_segmentor_out_hw_honored_on_device_path(vit_t):
+    """A constructor-level out_hw must win over the clip's own dims on
+    BOTH paths (the device path once silently ignored it)."""
+    model, variables = vit_t
+    seg = make_clip_segmentor(model, variables, out_hw=(24, 28),
+                              micro_batch=2)
+    clip = (np.random.default_rng(4).uniform(size=(3, 40, 44, 3))
+            * 255).astype(np.uint8)
+    host = seg(clip)
+    dev = np.asarray(seg.labels_device(jnp.asarray(clip), (40, 44)))
+    assert host.shape == dev.shape == (3, 24, 28)
+    np.testing.assert_array_equal(host, dev)
