@@ -238,6 +238,9 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     # finest-level displacement bound of the gather-free shift warp
     deepflow_fp_iterations: int = 3
     deepflow_max_displacement: int = 16
+    # VMEM-resident fused Jacobi kernel (ops/deepflow_pallas.py); ignored
+    # off-TPU and for levels too large for VMEM
+    deepflow_use_pallas: bool = True
     # clip-shape bucketing (core.py; SURVEY §7 "ragged clip shapes"):
     # pad N to a multiple of frame_bucket (last-frame repeats — exact,
     # sliced off on output) and the flow solver's H/W to multiples of

@@ -162,7 +162,10 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               match_radius=config.deepflow_match_radius,
                               beta=config.deepflow_beta,
                               fp_iters=config.deepflow_fp_iterations,
-                              max_disp=config.deepflow_max_displacement)
+                              max_disp=config.deepflow_max_displacement,
+                              use_pallas=(config.deepflow_use_pallas
+                                          and jax.default_backend()
+                                          not in ("cpu",)))
     return flow[:n_pairs, :h, :w, :]
 
 

@@ -156,12 +156,22 @@ def coarse_match(i0: jnp.ndarray, i1: jnp.ndarray, *, radius: int = 4,
 
 
 def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
-                   alpha, delta, gamma, iters, match=None, beta=0.0):
+                   alpha, delta, gamma, iters, match=None, beta=0.0,
+                   use_pallas=False):
     """Fixed-point + Jacobi solve for the flow increment (du, dv)."""
     it = i1w - i0                      # temporal intensity difference
     i0x, i0y = centered_gradient(i0)
     itx = i1wx - i0x                   # gradient-constancy temporal diffs
     ity = i1wy - i0y
+
+    if use_pallas:
+        # whole-image VMEM-resident Jacobi loop (ops/deepflow_pallas.py);
+        # it/itx/ity computed here in XLA where they fuse into the warp
+        from .deepflow_pallas import jacobi_sweeps_pallas
+
+        return jacobi_sweeps_pallas(
+            i1wx, i1wy, i1wxx, i1wxy, i1wyy, it, itx, ity, u0, v0, match,
+            iters=iters, alpha=alpha, delta=delta, gamma=gamma, beta=beta)
 
     du = jnp.zeros_like(u0)
     dv = jnp.zeros_like(v0)
@@ -223,13 +233,14 @@ def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
 @functools.partial(
     jax.jit, static_argnames=("alpha", "delta", "gamma", "nscales", "zoom",
                               "iters", "matching", "match_radius", "beta",
-                              "fp_iters", "max_disp"))
+                              "fp_iters", "max_disp", "use_pallas"))
 def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                    alpha: float = 8.0, delta: float = 0.5, gamma: float = 5.0,
                    nscales: int = 5, zoom: float = 0.5,
                    iters: int = 25, matching: bool = True,
                    match_radius: int = 4, beta: float = 0.3,
-                   fp_iters: int = 3, max_disp: int = 16) -> jnp.ndarray:
+                   fp_iters: int = 3, max_disp: int = 16,
+                   use_pallas: bool = False) -> jnp.ndarray:
     """Variational flow for (B, H, W) pairs -> (B, H, W, 2).
 
     ``matching`` enables the DeepFlow matching term: patch-NCC cost-volume
@@ -237,6 +248,8 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     constraint of weight ``beta`` (0 disables; refinement only).
     ``fp_iters`` fixed-point (re-warping) iterations run per level;
     ``max_disp`` bounds the finest-level displacement for the shift warp.
+    ``use_pallas`` runs each level's Jacobi loop in the VMEM-resident
+    fused kernel (TPU only; levels that would not fit VMEM fall back).
     """
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)
@@ -297,9 +310,16 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     local_r=_DF_LOCAL_R)
             else:
                 warped = warp_many_shift(imgs, u, v, max_disp=lvl_disp)
+            if use_pallas:
+                from .deepflow_pallas import fits_vmem_jacobi
+
+                lvl_pallas = fits_vmem_jacobi(*shapes[lvl])
+            else:
+                lvl_pallas = False
             du, dv = _jacobi_sweeps(a0, *warped, u, v, alpha=alpha,
                                     delta=delta, gamma=gamma, iters=iters,
-                                    match=match, beta=beta)
+                                    match=match, beta=beta,
+                                    use_pallas=lvl_pallas)
             u = u + du
             v = v + dv
         if lvl > 0:
@@ -313,9 +333,12 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
 
 def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray:
     """Flow for all consecutive pairs of a (N, H, W) clip -> (N-1, H, W, 2)."""
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
     params = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
                   iters=25, matching=True, match_radius=4, beta=0.3,
-                  fp_iters=3, max_disp=16)
+                  fp_iters=3, max_disp=16, use_pallas=on_tpu)
     if config is not None:
         params.update(alpha=config.deepflow_alpha, delta=config.deepflow_delta,
                       gamma=config.deepflow_gamma,
@@ -325,7 +348,8 @@ def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.nda
                       match_radius=config.deepflow_match_radius,
                       beta=config.deepflow_beta,
                       fp_iters=config.deepflow_fp_iterations,
-                      max_disp=config.deepflow_max_displacement)
+                      max_disp=config.deepflow_max_displacement,
+                      use_pallas=config.deepflow_use_pallas and on_tpu)
     params.update(overrides)
     frames = jnp.asarray(frames)
     return deepflow_pairs(frames[:-1], frames[1:], **params)

@@ -169,3 +169,42 @@ def test_train_state_resume(tmp_path, rng):
     state, epoch, it = load_train_state(str(tmp_path), template)
     assert epoch == 7 and it == 42
     np.testing.assert_array_equal(state["trainable"]["w"], trainable["w"])
+
+
+def test_deepflow_pallas_jacobi_matches_xla_interpret(rng):
+    """Interpret-mode parity of the VMEM-resident Jacobi kernel vs the
+    XLA _jacobi_sweeps, with and without the matching soft constraint
+    (odd shape exercises the lane-padding masks)."""
+    from tee_optical_flow_tpu.ops.deepflow import _jacobi_sweeps
+    from tee_optical_flow_tpu.ops.deepflow_pallas import jacobi_sweeps_pallas
+    from tee_optical_flow_tpu.ops.warp import centered_gradient
+
+    b, h, w = 2, 21, 37
+
+    def f(scale):
+        return (rng.normal(size=(b, h, w)) * scale).astype(np.float32)
+
+    i0, i1w = f(40.0) + 100.0, f(40.0) + 100.0
+    i1wx, i1wy = f(8.0), f(8.0)
+    i1wxx, i1wxy, i1wyy = f(2.0), f(2.0), f(2.0)
+    u0, v0 = f(0.8), f(0.8)
+    um, vm = f(1.0), f(1.0)
+    conf = np.abs(f(1.0))
+    kw = dict(alpha=8.0, delta=0.5, gamma=5.0, iters=9)
+
+    it = i1w - i0
+    i0x, i0y = centered_gradient(i0)
+    itx = np.asarray(i1wx - np.asarray(i0x))
+    ity = np.asarray(i1wy - np.asarray(i0y))
+
+    for match in (None, (um, vm, conf)):
+        ref = _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy,
+                             u0, v0, match=match, beta=0.3, **kw)
+        got = jacobi_sweeps_pallas(
+            i1wx, i1wy, i1wxx, i1wxy, i1wyy, it, itx, ity, u0, v0,
+            match, beta=0.3, interpret=True, **kw)
+        tag = "match" if match is not None else "plain"
+        for name, a, c in zip(("du", "dv"), ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-4,
+                                       err_msg=f"{tag}:{name}")
