@@ -310,11 +310,11 @@ def main() -> None:
 
             frames = _make_clip(17, h, w)
             df0, df1 = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
-            flow = deepflow_pairs(df0, df1)
+            flow = deepflow_pairs(df0, df1, use_pallas=True)
             float(jnp.sum(jnp.abs(flow)))  # compile + warm
             t0 = time.perf_counter()
             for _ in range(3):
-                flow = deepflow_pairs(df0, df1)
+                flow = deepflow_pairs(df0, df1, use_pallas=True)
                 float(jnp.sum(jnp.abs(flow)))
             emit("deepflow_frames_per_sec_per_chip_480x640",
                  round(16 * 3 / (time.perf_counter() - t0), 3), "frames/s",
