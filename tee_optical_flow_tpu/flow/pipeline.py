@@ -148,8 +148,7 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
             inner_iters=config.tvl1_inner_iterations,
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
-            use_pallas=(config.tvl1_use_pallas
-                        and jax.default_backend() not in ("cpu",)))
+            use_pallas=config.tvl1_use_pallas)
     else:
         from ..ops.deepflow import deepflow_pairs
 
@@ -163,9 +162,7 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               beta=config.deepflow_beta,
                               fp_iters=config.deepflow_fp_iterations,
                               max_disp=config.deepflow_max_displacement,
-                              use_pallas=(config.deepflow_use_pallas
-                                          and jax.default_backend()
-                                          not in ("cpu",)))
+                              use_pallas=config.deepflow_use_pallas)
     return flow[:n_pairs, :h, :w, :]
 
 

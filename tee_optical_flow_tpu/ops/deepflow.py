@@ -251,6 +251,12 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     ``use_pallas`` runs each level's Jacobi loop in the VMEM-resident
     fused kernel (TPU only; levels that would not fit VMEM fall back).
     """
+    if use_pallas:
+        # config.py promises the flag is ignored off-TPU: the kernel's
+        # pltpu primitives only lower on the TPU backend
+        from .pallas_common import on_tpu_backend
+
+        use_pallas = on_tpu_backend()
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)
     b, h, w = i0.shape
@@ -333,9 +339,9 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
 
 def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray:
     """Flow for all consecutive pairs of a (N, H, W) clip -> (N-1, H, W, 2)."""
-    import jax
+    from .pallas_common import on_tpu_backend
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = on_tpu_backend()
     params = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
                   iters=25, matching=True, match_radius=4, beta=0.3,
                   fp_iters=3, max_disp=16, use_pallas=on_tpu)

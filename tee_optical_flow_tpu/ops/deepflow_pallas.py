@@ -39,6 +39,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import clamped_shifts, pad_to_tpu_tile
+
 # constant slab order; du/dv state lives after the constants
 _CONSTS = ("i1wx", "i1wy", "i1wxx", "i1wxy", "i1wyy",
            "it", "itx", "ity", "u0", "v0")
@@ -74,24 +76,8 @@ def _jacobi_kernel(*refs, iters: int, alpha: float, delta: float,
 
     # clamped single-pixel shifts with the TRUE image bounds (the padded
     # region reads only itself, so junk there never enters valid pixels)
-    rows = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 1)
-    first_row = rows == 0
-    first_col = cols == 0
-    row_hi = rows >= (height - 1)
-    col_hi = cols >= (width - 1)
-
-    def nxt_row(f):   # f[min(y+1, height-1), x]
-        return jnp.where(row_hi, f, pltpu.roll(f, padded_h - 1, 0))
-
-    def prv_row(f):   # f[max(y-1, 0), x]
-        return jnp.where(first_row, f, pltpu.roll(f, 1, 0))
-
-    def nxt_col(f):   # f[y, min(x+1, width-1)]
-        return jnp.where(col_hi, f, pltpu.roll(f, padded_w - 1, 1))
-
-    def prv_col(f):   # f[y, max(x-1, 0)]
-        return jnp.where(first_col, f, pltpu.roll(f, 1, 1))
+    nxt_row, prv_row, nxt_col, prv_col = clamped_shifts(
+        height, width, padded_h, padded_w)
 
     def robust(x2):
         return 1.0 / (2.0 * jnp.sqrt(x2 + 1e-6))
@@ -173,8 +159,7 @@ def jacobi_sweeps_pallas(i1wx, i1wy, i1wxx, i1wxy, i1wyy, it, itx, ity,
     interpreter for CPU CI parity tests."""
     b, h, w = u0.shape
     use_match = match is not None
-    padded_h = -(-h // 8) * 8
-    padded_w = -(-w // 128) * 128
+    padded_h, padded_w = pad_to_tpu_tile(h, w)
 
     def pad(x):
         return jnp.pad(x.astype(jnp.float32),
@@ -220,6 +205,5 @@ def fits_vmem_jacobi(h: int, w: int,
                      budget_bytes: int = 40 * 1024 * 1024) -> bool:
     """Whether the whole-image Jacobi kernel fits comfortably in VMEM
     (15 resident slabs + iteration temporaries ~2x headroom)."""
-    padded_h = -(-h // 8) * 8
-    padded_w = -(-w // 128) * 128
+    padded_h, padded_w = pad_to_tpu_tile(h, w)
     return 15 * padded_h * padded_w * 4 * 2 <= budget_bytes

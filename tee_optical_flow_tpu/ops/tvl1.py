@@ -182,6 +182,12 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     (shift-based warping; see warp.bilinear_warp_shift). Coarser levels
     shrink the bound with the pyramid so cost concentrates where needed.
     """
+    if use_pallas:
+        # the Pallas kernels only lower on the TPU backend; the config
+        # flag is documented as ignored elsewhere (GPU/CPU -> XLA path)
+        from .pallas_common import on_tpu_backend
+
+        use_pallas = on_tpu_backend()
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)
     b, h, w = i0.shape
@@ -231,7 +237,8 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
         if config.tvl1_use_pallas:
             import jax as _jax
 
-            params["use_pallas"] = _jax.default_backend() not in ("cpu",)
+            from .pallas_common import on_tpu_backend
+            params["use_pallas"] = on_tpu_backend()
     params.update(overrides)
     frames = jnp.asarray(frames)
     return tvl1_flow_pairs(frames[:-1], frames[1:], **params)

@@ -37,6 +37,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import clamped_shifts, pad_to_tpu_tile
+
 _N_CONST = 5   # rho_c, i1wx, i1wy, th, inv_grad
 _N_STATE = 6   # u, v, p11, p12, p21, p22
 
@@ -204,28 +206,15 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
 
     rows = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 0)
     cols = lax.broadcasted_iota(jnp.int32, (padded_h, padded_w), 1)
-    first_row = rows == 0
-    first_col = cols == 0
-    # clamp masks treating the padded region as out-of-image
-    row_hi = rows >= (height - 1)
-    col_hi = cols >= (width - 1)
     stencils = _make_stencils(padded_h, padded_w,
-                              first_row, rows == (height - 1),
-                              first_col, cols == (width - 1))
+                              rows == 0, rows == (height - 1),
+                              cols == 0, cols == (width - 1))
 
     # edge-replicated single-pixel shifts (median taps); the padded region
     # is clamped out exactly like the XLA median's edge padding
-    def up1(f):       # f[min(y+1, height-1), x]
-        return jnp.where(row_hi, f, pltpu.roll(f, padded_h - 1, 0))
-
-    def down1(f):     # f[max(y-1, 0), x]
-        return jnp.where(first_row, f, pltpu.roll(f, 1, 0))
-
-    def right1(f):    # f[y, min(x+1, width-1)]
-        return jnp.where(col_hi, f, pltpu.roll(f, padded_w - 1, 1))
-
-    def left1(f):     # f[y, max(x-1, 0)]
-        return jnp.where(first_col, f, pltpu.roll(f, 1, 1))
+    # (pallas_common.clamped_shifts — shared with deepflow_pallas)
+    up1, down1, right1, left1 = clamped_shifts(
+        height, width, padded_h, padded_w)
 
     network, _width = _median_network(25)
 
@@ -293,8 +282,7 @@ def tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v,
     grad = grad.astype(jnp.float32)
     th = l_t * grad
     inv_grad = jnp.where(grad > 1e-10, 1.0 / jnp.maximum(grad, 1e-10), 0.0)
-    padded_h = -(-h // 8) * 8
-    padded_w = -(-w // 128) * 128
+    padded_h, padded_w = pad_to_tpu_tile(h, w)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, padded_h - h), (0, padded_w - w)))
@@ -336,8 +324,7 @@ def tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v,
 def fits_vmem_fused(h: int, w: int, budget_bytes: int = 40 * 1024 * 1024) -> bool:
     """Whether the fused whole-image kernel fits comfortably in VMEM
     (11 resident slabs + median/iteration temporaries ~2x headroom)."""
-    padded_h = -(-h // 8) * 8
-    padded_w = -(-w // 128) * 128
+    padded_h, padded_w = pad_to_tpu_tile(h, w)
     return (_N_CONST + _N_STATE) * padded_h * padded_w * 4 * 2 <= budget_bytes
 
 
