@@ -60,9 +60,11 @@ def test_one_compile_per_spatial_bucket(rng):
     assert tvl1_flow_pairs._cache_size() - before == 1
 
 
+@pytest.mark.slow
 def test_bucketed_flow_matches_unbucketed(rng):
     """Edge-replicate spatial padding leaves the solve unchanged away
-    from the padded (bottom/right) boundary."""
+    from the padded (bottom/right) boundary. (Slow tier; the fast tier
+    keeps the one-compile-per-bucket assertion above.)"""
     from tee_optical_flow_tpu.flow.pipeline import compute_clip_flow
 
     clip = _shifted_clip(rng, 4, 40, 44)

@@ -136,8 +136,11 @@ def test_tinyvit_block_parity():
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_prompt_and_decoder_parity():
-    """No-prompt PromptEncoder + MaskDecoder at an 8x8 grid."""
+    """No-prompt PromptEncoder + MaskDecoder at an 8x8 grid. (Slow tier
+    with the other whole-module parity runs; the fast tier keeps the
+    per-block TinyViT/ViT-Det numeric parity tests.)"""
     import jax
     import jax.numpy as jnp
     from models.sam.modeling.prompt_encoder import PromptEncoder as TorchPE
@@ -281,6 +284,7 @@ def test_vitdet_block_parity():
     np.testing.assert_allclose(ours, theirs, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_vitdet_full_conversion_structural():
     """Every torch vit_b tensor maps onto our ImageEncoderViT tree."""
     import jax
@@ -314,6 +318,7 @@ def test_vitdet_full_conversion_structural():
         params["neck_ln1"]["weight"], sd["image_encoder.neck.1.weight"].numpy())
 
 
+@pytest.mark.slow
 def test_vitdet_thd_block_parity():
     """The 3D (thd) depth-attention branch, torch vs flax, on a config
     where the two documented divergences are moot: a GLOBAL-attention

@@ -29,10 +29,12 @@ def test_deepflow_recovers_subpixel_shift(rng):
     assert np.median(epe) < 0.3, f"median EPE {np.median(epe):.3f}"
 
 
+@pytest.mark.slow
 def test_deepflow_zero_motion(rng):
     # same shapes (incl. batch=2) and solver statics as
     # test_deepflow_clip_shape so the two tests share one compiled
-    # program (compile dominates on CPU CI)
+    # program (compile dominates on CPU CI). Slow tier: the fast tier
+    # pins the same Jacobi math via the interpret parity test below.
     img = _texture(rng, 32, 32)
     pair = np.stack([img, img])
     flow = np.asarray(deepflow_pairs(pair, pair, nscales=2,

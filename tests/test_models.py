@@ -88,16 +88,18 @@ def test_vitdet_encoder_shape():
 
 
 def test_adapter_stages_add_params():
+    # eval_shape: the param-count assertion needs structure, not values
     enc_plain = TinyViT(img_size=IMG)
     enc_adapt = TinyViT(img_size=IMG, adapter_stages=(1, 2, 3))
     x = jnp.zeros((1, IMG, IMG, 3))
-    p0 = enc_plain.init(jax.random.PRNGKey(0), x)
-    p1 = enc_adapt.init(jax.random.PRNGKey(0), x)
+    p0 = jax.eval_shape(enc_plain.init, jax.random.PRNGKey(0), x)
+    p1 = jax.eval_shape(enc_adapt.init, jax.random.PRNGKey(0), x)
     n0 = sum(a.size for a in jax.tree.leaves(p0["params"]))
     n1 = sum(a.size for a in jax.tree.leaves(p1["params"]))
     assert n1 > n0
 
 
+@pytest.mark.slow
 def test_vitdet_thd_depth_branch():
     """The 3D (thd) branch: a chunk of D slices gets per-location depth
     attention added to the spatial path (reference image_encoder.py:211-231).
@@ -146,10 +148,12 @@ def test_clip_segmentor_tail_invariance(vit_t):
         np.testing.assert_array_equal(ref, got, err_msg=f"n={n}")
 
 
+@pytest.mark.slow
 def test_clip_segmentor_device_path_matches_host(vit_t):
     """labels_device (device-resident clip, no label download until the
     test materializes it) must reproduce the host segment() path, for
-    both RGB and single-channel grayscale uploads."""
+    both RGB and single-channel grayscale uploads. (Slow tier: the fast
+    out_hw test below also asserts host==device equality.)"""
     model, variables = vit_t
     seg = make_clip_segmentor(model, variables, micro_batch=2)
     rng = np.random.default_rng(3)
