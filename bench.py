@@ -29,12 +29,15 @@ lines; emission order:
   6. deepflow_frames_per_sec_per_chip_480x640 — BASELINE config 2.
   7. tvl1_flow_frames_per_sec_per_chip_480x640 — the headline (last
      line): dense TV-L1 at OpenCV-default settings (5 scales @0.8,
-     5 warps, 10x30 iterations, lambda .15, 5x5 median), all pairs
-     batched, Pallas fused inner loop.
+     5 warps, 10x30 iteration budget with the epsilon=0.01 per-pair
+     early stop OpenCV runs by default — round 3; epsilon=0 fixed-count
+     numbers are the round-2 baseline, lambda .15, 5x5 median), all
+     pairs batched, Pallas fused inner loop.
 
 ``vs_baseline`` provenance (honest label): it divides by THIS solver
-compiled via XLA on one CPU core of this host — 0.0564 frames/s
-(re-measure with ``python bench.py --measure-cpu``). OpenCV-CPU DualTVL1
+compiled via XLA on one CPU core of this host — 0.0983 frames/s at the
+same settings incl. the epsilon=0.01 early stop (re-measure with
+``python bench.py --measure-cpu``). OpenCV-CPU DualTVL1
 itself is NOT installable here (cv2 5.0.0 without contrib, no package
 installs), so the named BASELINE.md row-2 baseline is unmeasured
 (``opencv_cpu_fps: null``); single-threaded OpenCV DualTVL1 at VGA is
@@ -54,8 +57,10 @@ import time
 
 import numpy as np
 
-# XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring)
-RECORDED_CPU_BASELINE_FPS = 0.0564
+# XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring;
+# round 3: includes the epsilon=0.01 early stop on BOTH sides — the eps=0
+# fixed-count baseline was 0.0564)
+RECORDED_CPU_BASELINE_FPS = 0.0983
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
 NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
@@ -63,7 +68,7 @@ NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
 
 SOLVER_PARAMS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
                      warps=5, outer_iters=10, inner_iters=30,
-                     use_median=True, max_disp=16)
+                     use_median=True, max_disp=16, epsilon=0.01)
 
 WAVEFORM_FIXTURES = "/root/reference/test_data/waveforms"
 
@@ -228,7 +233,7 @@ def main() -> None:
         emit("dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"
              if on_tpu else "dicom_to_hdf5_clip_seconds_cpu_smoke",
              round(dt, 2), "s/clip", baseline=NO_REF_BASELINE + "; its CPU "
-             "flow alone would be ~570 s/clip at the recorded 0.0564 "
+             "flow alone would be ~330 s/clip at the recorded 0.0983 "
              "frames/s",
              note=f"real RLE DICOM file path (decode leg included); "
                   f"frame-bucketed {n_clip}->"

@@ -69,25 +69,31 @@ def _stats(err: np.ndarray, mask=None) -> dict:
     }
 
 
-def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None) -> dict:
+def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None,
+                      epsilon: float = 0.0) -> dict:
+    """Solver vs oracle at identical settings. ``epsilon`` applies to BOTH
+    sides: 0.0 is the deterministic protocol (iteration counts match
+    exactly); 0.01 is the OpenCV default the production config runs with
+    (per-pair early stop — iteration counts may differ by the f32-vs-f64
+    error-sum rounding, which is part of what the eps case measures)."""
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
     from tee_optical_flow_tpu.ops.tvl1_oracle import epe, tvl1_flow_oracle
 
     t0 = time.perf_counter()
-    golden = tvl1_flow_oracle(i0, i1, epsilon=0.0, median_kernel=5,
+    golden = tvl1_flow_oracle(i0, i1, epsilon=epsilon, median_kernel=5,
                               **SETTINGS)
     t_oracle = time.perf_counter() - t0
 
     # warm the jit cache so solver_seconds reflects steady state
     tvl1_flow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
-                    use_median=True, use_pallas=use_pallas, **SETTINGS
-                    ).block_until_ready()
+                    use_median=True, use_pallas=use_pallas,
+                    epsilon=epsilon, **SETTINGS).block_until_ready()
     t0 = time.perf_counter()
     ours = np.asarray(tvl1_flow_pairs(
         jnp.asarray(i0[None]), jnp.asarray(i1[None]), use_median=True,
-        use_pallas=use_pallas, **SETTINGS))[0]
+        use_pallas=use_pallas, epsilon=epsilon, **SETTINGS))[0]
     t_solver = time.perf_counter() - t0
     return _case_report(epe(ours, golden), masks, t_oracle, t_solver)
 
@@ -134,6 +140,7 @@ def main() -> None:
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--pairs", type=int, default=2, help="pairs per class")
     ap.add_argument("--skip-deepflow", action="store_true")
+    ap.add_argument("--skip-epsilon", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -154,6 +161,20 @@ def main() -> None:
         cases[f"echo_{k}"] = compare_pair_tvl1(i0, i1, use_pallas,
                                                masks=echo_masks)
         print(f"echo_{k}: {cases[f'echo_{k}']}", flush=True)
+
+    # production-default early stop (config tvl1_epsilon=0.01, the OpenCV
+    # default): one pair per class, epsilon on BOTH sides
+    eps_cases = {}
+    if not args.skip_epsilon:
+        i0, i1 = make_textured_pair(0, h, w, shifts[0])
+        eps_cases["textured_0"] = compare_pair_tvl1(i0, i1, use_pallas,
+                                                    epsilon=0.01)
+        print(f"eps=0.01 textured_0: {eps_cases['textured_0']}", flush=True)
+        i0, i1 = make_echo_pair(100, h, w, contraction=0.03)
+        eps_cases["echo_0"] = compare_pair_tvl1(i0, i1, use_pallas,
+                                                masks=echo_masks,
+                                                epsilon=0.01)
+        print(f"eps=0.01 echo_0: {eps_cases['echo_0']}", flush=True)
 
     df_cases = {}
     if not args.skip_deepflow:
@@ -205,6 +226,11 @@ def main() -> None:
                  "divergence there is smoothness-diffusion detail, not "
                  "measurement error; see module docstring"),
         "tvl1_cases": cases,
+        # solver(eps=0.01) vs oracle(eps=0.01): the production default
+        # (OpticalFlowCalculationConfig.tvl1_epsilon, OpenCV's default
+        # early stop). Includes any divergence from f32-vs-f64 stopping
+        # decisions on top of the deterministic protocol above.
+        "tvl1_epsilon001_cases": eps_cases,
         "deepflow_cases": df_cases,
     }
     with open(args.out, "w") as f:

@@ -148,7 +148,8 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
             inner_iters=config.tvl1_inner_iterations,
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
-            use_pallas=config.tvl1_use_pallas)
+            use_pallas=config.tvl1_use_pallas,
+            epsilon=config.tvl1_epsilon)
     else:
         from ..ops.deepflow import deepflow_pairs
 

@@ -15,10 +15,14 @@ iteration), which in turn follows Sanchez et al., "TV-L1 Optical Flow
 Estimation", IPOL 2013. Intensities are expected in [0, 255] — the
 smoothness weight lambda is calibrated to that range.
 
-A fixed iteration count replaces OpenCV's epsilon early-stop: on TPU a
-data-dependent loop would serialize the batch on the slowest pair and
-break fusion; iteration counts are config knobs instead
-(OpticalFlowCalculationConfig.tvl1_*).
+OpenCV's epsilon early-stop (default 0.01) is implemented per pair
+(round 3): the fused Pallas kernel carries the error in SMEM and
+predicates each pair's remaining iterations off once it converges (no
+batch serialization — pairs run in their own grid steps), and the XLA
+path freezes converged pairs by masking inside a while_loop
+(_tvl1_outer_eps_xla). epsilon=0 keeps the bit-reproducible fixed
+iteration counts; both are config knobs (OpticalFlowCalculationConfig
+.tvl1_*, production default epsilon 0.01 like the reference's OpenCV).
 """
 
 from __future__ import annotations
@@ -92,9 +96,84 @@ def tvl1_inner_block_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
                          (u, v, p11, p12, p21, p22))
 
 
+def _tvl1_outer_eps_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                        *, outer_iters, inner_iters, use_median, l_t, theta,
+                        taut, epsilon):
+    """The per-warp outer loop with the IPOL/OpenCV epsilon early stop
+    (ops/tvl1_oracle.py:161-196 semantics, which OpenCV's DualTVL1 runs by
+    default with epsilon=0.01): error = sum of squared flow updates of the
+    last inner iteration, checked before the median at each outer top and
+    before every inner iteration; the threshold is epsilon^2 * area
+    (OpenCV's scaledEpsilon — identical to the oracle's mean-vs-eps^2
+    test). Stopping is PER PAIR: a converged pair freezes (its state stops
+    updating, masked) while the rest of the batch iterates; the loop exits
+    when every pair has converged or the iteration budget is spent.
+    Decisions match the per-pair fused kernel (tvl1_pallas) up to
+    reduction-order ulps in the error sum."""
+    b, h, w = u.shape
+    thresh = jnp.float32(epsilon * epsilon * h * w)
+    th = l_t * grad
+    inv_grad = jnp.where(grad > _GRAD_EPS,
+                         1.0 / jnp.maximum(grad, _GRAD_EPS), 0.0)
+    ltx = l_t * i1wx
+    lty = l_t * i1wy
+
+    def inner_cond(c):
+        j, err = c[0], c[1]
+        return (j < inner_iters) & jnp.any(err > thresh)
+
+    def inner_body(c):
+        j, err, u, v, p11, p12, p21, p22 = c
+        act = err > thresh
+        m = act[:, None, None]
+        rho = rho_c + i1wx * u + i1wy * v
+        neg = rho < -th
+        pos = rho > th
+        rg = rho * inv_grad
+        d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
+        d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
+        un = (u + d1) + theta * divergence(p11, p12)
+        vn = (v + d2) + theta * divergence(p21, p22)
+        derr = jnp.sum((un - u) ** 2 + (vn - v) ** 2, axis=(1, 2))
+        err = jnp.where(act, derr, err)
+        u = jnp.where(m, un, u)
+        v = jnp.where(m, vn, v)
+        # p updates use the NEW u/v of active pairs; frozen pairs keep p
+        ux, uy = forward_diff(un)
+        vx, vy = forward_diff(vn)
+        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+        p11 = jnp.where(m, (p11 + taut * ux) / ng1, p11)
+        p12 = jnp.where(m, (p12 + taut * uy) / ng1, p12)
+        p21 = jnp.where(m, (p21 + taut * vx) / ng2, p21)
+        p22 = jnp.where(m, (p22 + taut * vy) / ng2, p22)
+        return j + 1, err, u, v, p11, p12, p21, p22
+
+    def outer_cond(c):
+        i, err = c[0], c[1]
+        return (i < outer_iters) & jnp.any(err > thresh)
+
+    def outer_body(c):
+        i, err, u, v, p11, p12, p21, p22 = c
+        if use_median:
+            m = (err > thresh)[:, None, None]
+            u = jnp.where(m, median_filter_5x5(u), u)
+            v = jnp.where(m, median_filter_5x5(v), v)
+        _, err, u, v, p11, p12, p21, p22 = lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.int32(0), err, u, v, p11, p12, p21, p22))
+        return i + 1, err, u, v, p11, p12, p21, p22
+
+    err0 = jnp.full((b,), jnp.inf, jnp.float32)
+    _, _, u, v, p11, p12, p21, p22 = lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), err0, u, v, p11, p12, p21, p22))
+    return u, v, p11, p12, p21, p22
+
+
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                 inner_iters, use_median, max_disp, use_pallas=False,
-                pallas_tile_h=256):
+                pallas_tile_h=256, epsilon=0.0):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
     i1x, i1y = centered_gradient(i1)
     l_t = lam * theta
@@ -133,8 +212,22 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
             return tvl1_outer_loop_pallas(
                 rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
                 outer_iters=outer_iters, inner_iters=inner_iters,
-                use_median=use_median, l_t=l_t, theta=theta, taut=taut)
+                use_median=use_median, l_t=l_t, theta=theta, taut=taut,
+                epsilon=epsilon)
 
+        if epsilon > 0.0 and not use_pallas:
+            return _tvl1_outer_eps_xla(
+                rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
+                outer_iters=outer_iters, inner_iters=inner_iters,
+                use_median=use_median, l_t=l_t, theta=theta, taut=taut,
+                epsilon=epsilon)
+
+        # NOTE: the tiled big-image Pallas path (image too large for the
+        # fused kernel) runs the fixed iteration budget even when
+        # epsilon > 0: per-inner-iteration stopping needs a global error
+        # reduction every iteration, which the halo-tiled kernel cannot
+        # form without cross-tile synchronization. Conservative: never
+        # fewer iterations than the early-stopping paths.
         def outer_body(_, carry):
             u, v, p11, p12, p21, p22 = carry
             if use_median:
@@ -165,14 +258,15 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
                      "outer_iters", "inner_iters", "use_median", "max_disp",
-                     "use_pallas", "pallas_tile_h"))
+                     "use_pallas", "pallas_tile_h", "epsilon"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
                     outer_iters: int = 10, inner_iters: int = 30,
                     use_median: bool = True, max_disp: int = 16,
                     use_pallas: bool = False,
-                    pallas_tile_h: int = 256) -> jnp.ndarray:
+                    pallas_tile_h: int = 256,
+                    epsilon: float = 0.0) -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
@@ -181,6 +275,16 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     ``max_disp`` bounds the trackable displacement at the finest level
     (shift-based warping; see warp.bilinear_warp_shift). Coarser levels
     shrink the bound with the pyramid so cost concentrates where needed.
+
+    ``epsilon`` > 0 enables the IPOL/OpenCV early-stopping criterion
+    (per pair, per warp: stop iterating once the mean squared flow update
+    falls below epsilon^2 — see _tvl1_outer_eps_xla). OpenCV's DualTVL1
+    default is 0.01, and the reference pipeline runs with it; the default
+    HERE is 0.0 (fixed iteration counts, bit-reproducible across runs and
+    backends) so oracle comparisons stay deterministic — production sets
+    0.01 via OpticalFlowCalculationConfig.tvl1_epsilon. Early stopping
+    applies on the fused-Pallas and XLA paths; the tiled big-image kernel
+    runs the full budget (see _tvl1_scale note).
     """
     if use_pallas:
         # the Pallas kernels only lower on the TPU backend; the config
@@ -205,7 +309,8 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                            lam=lam, tau=tau, theta=theta, warps=warps,
                            outer_iters=outer_iters, inner_iters=inner_iters,
                            use_median=use_median, max_disp=lvl_disp,
-                           use_pallas=use_pallas, pallas_tile_h=pallas_tile_h)
+                           use_pallas=use_pallas, pallas_tile_h=pallas_tile_h,
+                           epsilon=epsilon)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
@@ -233,6 +338,7 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
             inner_iters=config.tvl1_inner_iterations,
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
+            epsilon=config.tvl1_epsilon,
         )
         if config.tvl1_use_pallas:
             import jax as _jax

@@ -67,11 +67,19 @@ def _make_stencils(dim_h, dim_w, first_row, last_row, first_col, last_col):
     return fdx, fdy, div
 
 
-def _make_inner_body(scratch, stencils, *, theta, taut, l_t):
+def _make_inner_body(scratch, stencils, *, theta, taut, l_t,
+                     err_ref=None, err_thresh=None, err_mask=None):
     """The primal-dual iteration, operating in place on the scratch state
     slabs (indices _N_CONST..) with the per-warp constants at 0.._N_CONST.
     One source of truth for both the tiled and the fused kernel — the
-    math must stay bitwise-identical to tvl1.tvl1_inner_block_xla."""
+    math must stay bitwise-identical to tvl1.tvl1_inner_block_xla.
+
+    With ``err_ref`` (an SMEM (1,) scalar) the body implements the
+    IPOL/OpenCV epsilon early stop (tvl1._tvl1_outer_eps_xla semantics):
+    the whole iteration is predicated on err_ref[0] > err_thresh, and the
+    sum of squared flow updates over the valid region (``err_mask``) is
+    written back each iteration. Once the error drops below the threshold
+    every remaining iteration is a predicated no-op."""
     fdx, fdy, div = stencils
     rho_c = scratch[0]
     i1wx = scratch[1]
@@ -81,25 +89,31 @@ def _make_inner_body(scratch, stencils, *, theta, taut, l_t):
     ltx = l_t * i1wx
     lty = l_t * i1wy
 
-    def inner_body(_, carry):
+    def step():
         # state lives in the scratch slabs and is updated in place; the
         # loop carries nothing (halves live VMEM vs SSA-carried state)
-        u = scratch[5]
-        v = scratch[6]
+        u_old = scratch[5]
+        v_old = scratch[6]
         p11 = scratch[7]
         p12 = scratch[8]
         p21 = scratch[9]
         p22 = scratch[10]
-        rho = rho_c + i1wx * u + i1wy * v
+        rho = rho_c + i1wx * u_old + i1wy * v_old
         neg = rho < -th
         pos = rho > th
         rg = rho * inv_grad
         d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
         d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
-        u = (u + d1) + theta * div(p11, p12)
-        v = (v + d2) + theta * div(p21, p22)
+        u = (u_old + d1) + theta * div(p11, p12)
+        v = (v_old + d2) + theta * div(p21, p22)
         scratch[5] = u
         scratch[6] = v
+        if err_ref is not None:
+            # padded rows/cols can hold junk after the on-chip median
+            # (clamped shifts pull valid edge values outward), so the
+            # error sum must mask to the true image region
+            du2 = (u - u_old) * (u - u_old) + (v - v_old) * (v - v_old)
+            err_ref[0] = jnp.sum(jnp.where(err_mask, du2, 0.0))
         ux = fdx(u)
         uy = fdy(u)
         vx = fdx(v)
@@ -113,6 +127,12 @@ def _make_inner_body(scratch, stencils, *, theta, taut, l_t):
         scratch[8] = (p12 + taut * uy) / ng1
         scratch[9] = (p21 + taut * vx) / ng2
         scratch[10] = (p22 + taut * vy) / ng2
+
+    def inner_body(_, carry):
+        if err_ref is None:
+            step()
+        else:
+            pl.when(err_ref[0] > err_thresh)(step)
         return carry
 
     return inner_body
@@ -178,10 +198,10 @@ def _inner_block_kernel(off_ref,  # scalar prefetch: (n_tiles,) global row start
 def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
                         u_hbm, v_hbm, p11_hbm, p12_hbm, p21_hbm, p22_hbm,
                         u_out, v_out, p11_out, p12_out, p21_out, p22_out,
-                        scratch, sem,
+                        scratch, sem, err_smem,
                         *, outer_iters: int, inner_iters: int,
                         use_median: bool, l_t: float, theta: float,
-                        taut: float, height: int, width: int,
+                        taut: float, epsilon: float, height: int, width: int,
                         padded_h: int, padded_w: int):
     """One whole (median + inner-block) x outer_iters outer loop for one
     frame pair, image fully VMEM-resident: the per-warp constants are
@@ -192,6 +212,13 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
     if use_median] + tvl1_inner_block_xla(n_iters=inner_iters) — the
     median's edge-replication is reproduced with roll+select clamps and
     the identical pruned compare-exchange network (warp._median_network).
+
+    With epsilon > 0 the loop carries the IPOL/OpenCV early-stop error in
+    SMEM (``err_smem``): every median and inner iteration is predicated on
+    err > epsilon^2 * area, so this pair's remaining iterations become
+    ~free scalar-branch no-ops once it converges — the per-pair analogue
+    of tvl1._tvl1_outer_eps_xla's masked batch (decisions equal up to
+    reduction-order ulps in the error sum).
     """
     from .warp import _median_network
 
@@ -241,15 +268,33 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
             wires[j] = jnp.maximum(wi, wj)
         return wires[12]
 
-    inner_body = _make_inner_body(scratch, stencils, theta=theta,
-                                  taut=taut, l_t=l_t)
+    if epsilon > 0.0:
+        err_thresh = jnp.float32(epsilon * epsilon * height * width)
+        err_mask = (rows < height) & (cols < width)
+        err_smem[0] = jnp.float32(jnp.inf)
+        inner_body = _make_inner_body(scratch, stencils, theta=theta,
+                                      taut=taut, l_t=l_t, err_ref=err_smem,
+                                      err_thresh=err_thresh,
+                                      err_mask=err_mask)
 
-    def outer_body(_, carry):
-        if use_median:
-            scratch[5] = med5(scratch[5])
-            scratch[6] = med5(scratch[6])
-        lax.fori_loop(0, inner_iters, inner_body, 0, unroll=False)
-        return carry
+        def outer_body(_, carry):
+            if use_median:
+                @pl.when(err_smem[0] > err_thresh)
+                def _():
+                    scratch[5] = med5(scratch[5])
+                    scratch[6] = med5(scratch[6])
+            lax.fori_loop(0, inner_iters, inner_body, 0, unroll=False)
+            return carry
+    else:
+        inner_body = _make_inner_body(scratch, stencils, theta=theta,
+                                      taut=taut, l_t=l_t)
+
+        def outer_body(_, carry):
+            if use_median:
+                scratch[5] = med5(scratch[5])
+                scratch[6] = med5(scratch[6])
+            lax.fori_loop(0, inner_iters, inner_body, 0, unroll=False)
+            return carry
 
     lax.fori_loop(0, outer_iters, outer_body, 0, unroll=False)
 
@@ -267,16 +312,19 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("outer_iters", "inner_iters", "use_median", "l_t",
-                     "theta", "taut", "interpret"))
+                     "theta", "taut", "epsilon", "interpret"))
 def tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v,
                            p11, p12, p21, p22, *,
                            outer_iters: int, inner_iters: int,
                            use_median: bool, l_t: float, theta: float,
-                           taut: float, interpret: bool = False):
+                           taut: float, epsilon: float = 0.0,
+                           interpret: bool = False):
     """Run the full per-warp outer loop (5x5 flow median + inner block,
     x outer_iters) in one whole-image-resident kernel. Returns the same
     6-tuple as the per-block path. Use when the image fits VMEM
-    (fits_vmem_fused); bitwise-equal to the composed XLA/per-block path.
+    (fits_vmem_fused); with epsilon == 0 bitwise-equal to the composed
+    XLA/per-block path, with epsilon > 0 each pair early-stops on the
+    IPOL/OpenCV criterion (see _fused_scale_kernel).
     """
     b, h, w = u.shape
     grad = grad.astype(jnp.float32)
@@ -298,14 +346,15 @@ def tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v,
         scratch_shapes=[
             pltpu.VMEM((_N_CONST + _N_STATE, padded_h, padded_w), jnp.float32),
             pltpu.SemaphoreType.DMA((_N_CONST + _N_STATE,)),
+            pltpu.SMEM((1,), jnp.float32),
         ],
     )
 
     kernel = functools.partial(
         _fused_scale_kernel, outer_iters=outer_iters,
         inner_iters=inner_iters, use_median=use_median, l_t=l_t,
-        theta=theta, taut=taut, height=h, width=w, padded_h=padded_h,
-        padded_w=padded_w)
+        theta=theta, taut=taut, epsilon=epsilon, height=h, width=w,
+        padded_h=padded_h, padded_w=padded_w)
 
     outs = pl.pallas_call(
         kernel,

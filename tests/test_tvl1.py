@@ -272,6 +272,92 @@ def test_pallas_fused_outer_loop_matches_xla_interpret(rng):
                                        err_msg=f"{name} median={use_median}")
 
 
+def test_epsilon_early_stop_semantics(rng):
+    """IPOL/OpenCV epsilon early stop (tvl1._tvl1_outer_eps_xla): error
+    starts at +inf so exactly one inner iteration always runs — a huge
+    epsilon is therefore bitwise-equal to fixed outer=1, inner=1."""
+    img = _texture(rng, 40, 48)
+    i1 = ndimage.shift(img, (1.0, -1.0), order=3, mode="nearest")
+    kw = dict(nscales=1, warps=2, outer_iters=3, inner_iters=8,
+              use_median=True)
+
+    huge = np.asarray(tvl1_flow_pairs(img[None], i1[None], epsilon=1e6, **kw))
+    kw11 = dict(kw, outer_iters=1, inner_iters=1)
+    one = np.asarray(tvl1_flow_pairs(img[None], i1[None], epsilon=0.0, **kw11))
+    np.testing.assert_array_equal(huge, one)
+
+
+@pytest.mark.slow
+def test_epsilon_default_budget_keeps_accuracy(rng):
+    """At the full OpenCV budget the eps=0.01 early stop must not cost
+    accuracy on the content contract (it stops only once updates are
+    epsilon-small; weak-gradient border pixels may legitimately differ
+    from the eps=0 fixed point — OpenCV's own solver behaves the same
+    way)."""
+    img = _texture(rng, 48, 56)
+    i1 = ndimage.shift(img, (1.0, -1.0), order=3, mode="nearest")
+    kwfull = dict(nscales=3, zoom=0.8, warps=5, outer_iters=10,
+                  inner_iters=30, use_median=True)
+    eps = np.asarray(tvl1_flow_pairs(img[None], i1[None], epsilon=0.01,
+                                     **kwfull))[0]
+    interior = eps[8:-8, 8:-8]
+    err = np.hypot(interior[..., 0] + 1.0, interior[..., 1] - 1.0)
+    assert np.median(err) < 0.1, np.median(err)
+
+
+def test_epsilon_early_stop_is_per_pair(rng):
+    """A batch mixing a trivially convergent pair (zero motion) with a
+    hard pair must early-stop them independently: the hard pair's result
+    equals its solo solve (the frozen easy pair must not drag it)."""
+    img = _texture(rng, 40, 48)
+    i1 = ndimage.shift(img, (1.5, 0.5), order=3, mode="nearest")
+    kw = dict(nscales=1, warps=2, outer_iters=3, inner_iters=8,
+              use_median=True, epsilon=0.01)
+
+    solo = np.asarray(tvl1_flow_pairs(img[None], i1[None], **kw))[0]
+    batch = np.asarray(tvl1_flow_pairs(
+        np.stack([img, img]), np.stack([img, i1]), **kw))
+    assert np.abs(batch[0]).max() < 0.05  # zero-motion pair converged
+    # equal up to B=1-vs-B=2 compilation ulps (measured ~3e-6); a frozen
+    # easy pair dragging the hard one would differ by whole iterations
+    np.testing.assert_allclose(batch[1], solo, atol=1e-4)
+
+
+def test_pallas_fused_epsilon_matches_xla_interpret(rng):
+    """Interpret-mode parity of the fused kernel's in-SMEM early stop vs
+    the masked XLA twin, across thresholds that stop at different depths
+    (decisions may differ only by reduction-order ulps in the error sum,
+    so tolerance rather than bitwise)."""
+    from tee_optical_flow_tpu.ops.tvl1 import _tvl1_outer_eps_xla
+    from tee_optical_flow_tpu.ops.tvl1_pallas import tvl1_outer_loop_pallas
+    from tee_optical_flow_tpu.ops.warp import centered_gradient, warp_many_shift
+
+    b, h, w = 2, 40, 48
+    i0 = (rng.uniform(size=(b, h, w)) * 255).astype(np.float32)
+    i1 = (rng.uniform(size=(b, h, w)) * 255).astype(np.float32)
+    u = (rng.normal(size=(b, h, w)) * 0.5).astype(np.float32)
+    v = (rng.normal(size=(b, h, w)) * 0.5).astype(np.float32)
+    i1x, i1y = centered_gradient(i1)
+    i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v, max_disp=4)
+    grad = i1wx * i1wx + i1wy * i1wy
+    rho_c = i1w - i1wx * u - i1wy * v - i0
+    zeros = np.zeros((b, h, w), np.float32)
+    ps = (zeros, zeros, zeros, zeros)
+    kw = dict(outer_iters=3, inner_iters=7, use_median=True,
+              l_t=0.045, theta=0.3, taut=0.25 / 0.3)
+
+    for eps in (0.2, 2.0):
+        ref = _tvl1_outer_eps_xla(rho_c, i1wx, i1wy, grad, u, v, *ps,
+                                  epsilon=eps, **kw)
+        got = tvl1_outer_loop_pallas(rho_c, i1wx, i1wy, grad, u, v, *ps,
+                                     epsilon=eps, interpret=True, **kw)
+        for name, a, c in zip(("u", "v", "p11", "p12", "p21", "p22"),
+                              ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-5,
+                                       err_msg=f"{name} eps={eps}")
+
+
 def test_median_network_matches_numpy(rng):
     from tee_optical_flow_tpu.ops.warp import median_of_taps, median_filter_5x5
 
