@@ -43,16 +43,36 @@ def _detect(ds, gate: str, cc_config, proc_config):
     return det.detect(ds, ds.art, int(ds.art_sampling_rate))
 
 
-def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
-                 analysis_config, save_dir, masked=None):
-    if masked is None:
-        masked = ds.get_masked_arr(param, label)
+def _total_trace(ds, masked, manager, analysis_config):
+    """Gate-independent half of the total-magnitude analysis: the smoothed
+    high-percentile trace. The gates differ only in which frames count as
+    systole/diastole, which enters at peak detection — the reference's
+    cohort loop recomputes this identically per gate
+    (analyze_optical_flow.py:1410-1454); computing it once is
+    bit-identical and halves the device passes per file."""
     _mag, _ang, _me, _ae, perc_hi = calculate_3dhist(
         masked, ds.nframes, nbins=analysis_config.nbins,
         percentile=analysis_config.percentile)
-    filt = spectral_smooth(perc_hi, manager.peak_config.smooth_fraction,
+    return spectral_smooth(perc_hi, manager.peak_config.smooth_fraction,
                            manager.peak_config.pad_len)
-    frame_times = np.arange(ds.nframes) / ds.frame_rate
+
+
+def _radlong_traces(ds, masked, av_masks, analysis_config):
+    """Gate-independent half of the radial/longitudinal analysis:
+    (rad_hi, rad_lo, long_hi, long_lo)."""
+    data = calculate_3dhist_radlong(
+        masked, av_masks, ds.nframes, nbins=analysis_config.nbins,
+        perc_lo=analysis_config.perc_lo, perc_hi=analysis_config.perc_hi,
+        av_filter_flag=analysis_config.av_filter_flag,
+        av_savgol_window=analysis_config.av_savgol_window,
+        av_savgol_poly=analysis_config.av_savgol_poly)
+    _f, _e, rad_hi, rad_lo = data["radial"]
+    _f, _e, long_hi, long_lo = data["longitudinal"]
+    return rad_hi, rad_lo, long_hi, long_lo
+
+
+def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
+                 save_dir, filt, frame_times):
     save_path = os.path.join(save_dir, "plots",
                              f"{ds.filename}_{gate}_{param}_{label}_total.png")
     return manager.plot_peak_line(
@@ -62,19 +82,8 @@ def _total_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
 
 
 def _radlong_stats(ds, param, label, gate, sys_frames, dia_frames, manager,
-                   analysis_config, save_dir, masked=None, av_masks=None):
-    param_arr = masked if masked is not None else ds.get_masked_arr(param, label)
-    if av_masks is None:
-        av_masks = ds.get_mask("av")
-    data = calculate_3dhist_radlong(
-        param_arr, av_masks, ds.nframes, nbins=analysis_config.nbins,
-        perc_lo=analysis_config.perc_lo, perc_hi=analysis_config.perc_hi,
-        av_filter_flag=analysis_config.av_filter_flag,
-        av_savgol_window=analysis_config.av_savgol_window,
-        av_savgol_poly=analysis_config.av_savgol_poly)
-    _f, _e, rad_hi, rad_lo = data["radial"]
-    _f, _e, long_hi, long_lo = data["longitudinal"]
-    frame_times = np.arange(ds.nframes) / ds.frame_rate
+                   save_dir, traces, frame_times):
+    rad_hi, rad_lo, long_hi, long_lo = traces
     save_path = os.path.join(save_dir, "plots",
                              f"{ds.filename}_{gate}_{param}_{label}_radlong.png")
     return manager.plot_peak_line_radlong(
@@ -116,30 +125,53 @@ def analyze_cohort_file(filepath: str, param: str = "velocity",
         masked_dev = jnp.asarray(ds.get_masked_arr(param, label))
         av_masks = (ds.get_mask("av") if "av" in ds.accepted_labels
                     else None)
+        frame_times = np.arange(ds.nframes) / ds.frame_rate
+
+        # gate-independent data passes, computed ONCE (see _total_trace);
+        # a failure here zero-fills that analysis for both gates — the
+        # reference's per-gate recomputation would have failed identically
+        filt = traces = None
+        try:
+            filt = _total_trace(ds, masked_dev, manager, analysis_config)
+        except Exception as exc:
+            logger.warning("%s total trace failed: %s", filepath, exc)
+        if "av" in ds.accepted_labels:
+            try:
+                traces = _radlong_traces(ds, masked_dev, av_masks,
+                                         analysis_config)
+            except Exception as exc:
+                logger.warning("%s radlong traces failed: %s", filepath, exc)
+
         for gate, cc_cfg in (("ecg_lazy", ecg_gated_config()),
                              ("arterial", arterial_gated_config())):
             gate_key = "ecg" if gate == "ecg_lazy" else "art"
+            # one detection per gate (deterministic: the reference's
+            # second detect call per gate returns identical frames)
+            sys_f = dia_f = None
             try:
                 proc_gate = ProcessingConfig(recalculate=True,
                                              verbose=proc_config.verbose)
                 sys_f, dia_f = _detect(ds, "ecg" if gate == "ecg_lazy" else "art",
                                        cc_cfg, proc_gate)
+            except Exception as exc:
+                logger.warning("%s %s detect failed: %s", filepath, gate_key, exc)
+            try:
+                if sys_f is None or filt is None:
+                    raise RuntimeError("gate detection or total trace failed")
                 rows[f"{gate_key}_total"] = _total_stats(
                     ds, param, label, gate, sys_f, dia_f, manager,
-                    analysis_config, save_dir, masked=masked_dev)
+                    save_dir, filt, frame_times)
             except Exception as exc:
                 logger.warning("%s %s total failed: %s", filepath, gate_key, exc)
                 rows[f"{gate_key}_total"] = _ZERO9
             try:
                 if "av" in ds.accepted_labels:
-                    proc_gate = ProcessingConfig(recalculate=True,
-                                                 verbose=proc_config.verbose)
-                    sys_f, dia_f = _detect(ds, "ecg" if gate == "ecg_lazy" else "art",
-                                           cc_cfg, proc_gate)
+                    if sys_f is None or traces is None:
+                        raise RuntimeError(
+                            "gate detection or radlong traces failed")
                     rows[f"{gate_key}_radlong"] = _radlong_stats(
                         ds, param, label, gate, sys_f, dia_f, manager,
-                        analysis_config, save_dir, masked=masked_dev,
-                        av_masks=av_masks)
+                        save_dir, traces, frame_times)
                 else:
                     rows[f"{gate_key}_radlong"] = _ZERO18
             except Exception as exc:
