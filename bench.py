@@ -332,7 +332,12 @@ def main() -> None:
     fps = (n_frames - 1) / dt
     emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),
          "frames/s", vs_baseline=round(fps / RECORDED_CPU_BASELINE_FPS, 1),
-         baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None)
+         baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None,
+         note="OpenCV-default settings incl. the epsilon=0.01 per-pair "
+              "early stop (round 3; CPU baseline re-measured with it). "
+              "Like OpenCV's, throughput is convergence- and therefore "
+              "content-dependent; epsilon=0 fixed-count numbers are the "
+              "round-2 records")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.histogram import carry_forward, framewise_hist_pack, histogram_edges
+from ..ops.histogram import (
+    carry_forward, framewise_hist_pack, framewise_hist_pack_group,
+    histogram_edges,
+)
 from .centroid import calc_AV_centroid
 from .components import calculate_comp_magnitude
 
@@ -48,20 +51,37 @@ def _framewise_hist_and_percentiles(arr, nframes: int, percs, nbins: int):
     trip), and the whole pass is one fused program with a single
     readback (ops/histogram.framewise_hist_pack)."""
     dev = jnp.asarray(arr)[:nframes]
-    nperc = len(percs)
     pack = np.asarray(framewise_hist_pack(
         dev, jnp.asarray(np.asarray(percs, np.float32)), nbins=nbins))
+    return _unpack_one(pack, nbins, len(percs))
+
+
+def _unpack_one(pack, nbins: int, nperc: int):
+    """Host-side unpack of one framewise_hist_pack result (the shared
+    tail of _framewise_hist_and_percentiles)."""
     freq = pack[:-1, :nbins]
     vals = pack[:-1, nbins:nbins + nperc]
     valid = pack[:-1, -1] > 0
     gmin = float(pack[-1, 0])
     gmax = float(pack[-1, 1])
-
     for i in np.where(~valid)[0]:
         logger.warning("len(flat_nonzero) is 0 for frame %d", i)
     freq = carry_forward(freq + 1.0, valid, np.ones(nbins))
     edges = histogram_edges(gmin, gmax, nbins)
     return freq, edges, vals, valid, gmin, gmax
+
+
+def _framewise_group(arrs, nframes: int, percs_list, nbins: int):
+    """G same-shape device arrays through ONE fused pack program with one
+    readback (ops/histogram.framewise_hist_pack_group); per-element
+    results identical to G separate _framewise_hist_and_percentiles
+    calls. ``percs_list`` is a (G, P) list of per-element percentiles."""
+    dev = jnp.stack([jnp.asarray(a)[:nframes] for a in arrs])
+    p = np.asarray(percs_list, np.float32)
+    packs = np.asarray(framewise_hist_pack_group(
+        dev, jnp.asarray(p), nbins=nbins))
+    return [_unpack_one(packs[g], nbins, p.shape[1])
+            for g in range(len(arrs))]
 
 
 def calc_bidirectional_hist(mag_arr, nframes: int, perc_lo: int = 1,
@@ -82,13 +102,12 @@ def calculate_3dhist(masked_arr, nframes: int, nbins: int = 1000,
     dev = jnp.asarray(masked_arr)[:nframes]
     mag, ang = cart_to_polar(dev)
 
-    # mag/ang stay device-resident into the fused hist pass
-    mag_freq, mag_edges, mvals, mvalid, mmin, mmax = \
-        _framewise_hist_and_percentiles(mag, nframes, [percentile], nbins)
+    # mag/ang stay device-resident into ONE grouped hist pass (a single
+    # dispatch + readback instead of two; latency-bound on tunnel links)
+    (mag_freq, mag_edges, mvals, mvalid, _mmin, mmax), \
+        (ang_freq, ang_edges, _avals, _avalid, _amin, _amax) = \
+        _framewise_group((mag, ang), nframes, [[percentile], [50]], nbins)
     perc_hi = carry_forward(mvals[:, 0], mvalid, mmax)
-
-    ang_freq, ang_edges, _avals, avalid, _amin, _amax = \
-        _framewise_hist_and_percentiles(ang, nframes, [50], nbins)
 
     return mag_freq, ang_freq, mag_edges, ang_edges, perc_hi
 
@@ -106,10 +125,16 @@ def calculate_3dhist_radlong(param_arr, av_masks, nframes: int,
                                  savgol_poly=av_savgol_poly, verbose=verbose)
     rad_arr, long_arr = calculate_comp_magnitude(param_arr, centroids)
 
-    rad = calc_bidirectional_hist(rad_arr, nframes,
-                                  perc_lo=perc_lo, perc_hi=perc_hi, nbins=nbins)
-    lng = calc_bidirectional_hist(long_arr, nframes,
-                                  perc_lo=perc_lo, perc_hi=perc_hi, nbins=nbins)
+    # radial + longitudinal through one grouped device pass (identical
+    # results to two calc_bidirectional_hist calls, one readback)
+    percs = [[perc_lo, perc_hi]] * 2
+    (rfreq, redges, rvals, rvalid, rmin, rmax), \
+        (lfreq, ledges, lvals, lvalid, lmin, lmax) = \
+        _framewise_group((rad_arr, long_arr), nframes, percs, nbins)
+    rad = (rfreq, redges, carry_forward(rvals[:, 1], rvalid, rmax),
+           carry_forward(rvals[:, 0], rvalid, rmin))
+    lng = (lfreq, ledges, carry_forward(lvals[:, 1], lvalid, lmax),
+           carry_forward(lvals[:, 0], lvalid, lmin))
     # the reference drops the last edge here (analysis.py:325-326); the viz
     # layer reconstructs it — preserved for artifact compatibility
     return {

@@ -101,6 +101,23 @@ def framewise_hist_pack(frames: jnp.ndarray, percentiles: jnp.ndarray,
     return jnp.concatenate([rows, tail], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def framewise_hist_pack_group(frames: jnp.ndarray, percentiles: jnp.ndarray,
+                              nbins: int = 1000) -> jnp.ndarray:
+    """``framewise_hist_pack`` vmapped over a leading group axis — G
+    independent arrays analyzed in ONE device program with ONE readback
+    (each group element keeps its own global range and percentiles).
+
+    frames: (G, N, ...), percentiles: (G, P) -> (G, N+1, nbins + P + 1).
+    Per-element results are identical to G separate pack calls; the
+    grouping only removes G-1 device round trips (the cohort analysis
+    issues its magnitude/angle and radial/longitudinal passes pairwise).
+    """
+    return jax.vmap(
+        lambda f, p: framewise_hist_pack(f, p, nbins=nbins))(
+            frames, percentiles)
+
+
 def histogram_edges(lo: float, hi: float, nbins: int) -> np.ndarray:
     """np.histogram's bin edges for the global range (host helper)."""
     return np.linspace(lo, hi, nbins + 1)

@@ -305,10 +305,13 @@ def test_epsilon_default_budget_keeps_accuracy(rng):
     assert np.median(err) < 0.1, np.median(err)
 
 
+@pytest.mark.slow
 def test_epsilon_early_stop_is_per_pair(rng):
     """A batch mixing a trivially convergent pair (zero motion) with a
     hard pair must early-stop them independently: the hard pair's result
-    equals its solo solve (the frozen easy pair must not drag it)."""
+    equals its solo solve (the frozen easy pair must not drag it).
+    (Slow tier: three solver compiles; the fast-tier fused parity test
+    covers per-pair independence structurally — one grid step per pair.)"""
     img = _texture(rng, 40, 48)
     i1 = ndimage.shift(img, (1.5, 0.5), order=3, mode="nearest")
     kw = dict(nscales=1, warps=2, outer_iters=3, inner_iters=8,
