@@ -34,10 +34,17 @@ def calc_AV_centroid(mask_arr: np.ndarray, nframes: int, filter: bool = True,
                      savgol_window: int = 10, savgol_poly: int = 4,
                      verbose: bool = False) -> np.ndarray:
     """(N, H, W, C) mask stack -> (N, 2) centroid track (row, col)."""
+    import jax.numpy as jnp
+
     frames = np.asarray(mask_arr)[:nframes, :, :, 0]
-    cents, _areas, valid = largest_centroid_series(frames.astype(bool))
-    cents = np.asarray(cents, dtype=np.float64)
-    valid = np.asarray(valid)
+    cents_d, _areas, valid_d = largest_centroid_series(frames.astype(bool))
+    # one packed readback instead of two (each blocking materialization
+    # is a full round trip on tunnel-class device links)
+    packed = np.asarray(jnp.concatenate(
+        [cents_d.astype(jnp.float32),
+         valid_d.astype(jnp.float32)[:, None]], axis=1))
+    cents = packed[:, :2].astype(np.float64)
+    valid = packed[:, 2] > 0
 
     default = (mask_arr.shape[1] / 2, mask_arr.shape[2] / 2)
     out = np.empty_like(cents)
