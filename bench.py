@@ -192,10 +192,36 @@ def _make_analysis_hdf5(path: str, n: int, h: int, w: int) -> None:
                            heart_rate=78)
 
 
+def _epsilon_canary(on_tpu: bool) -> bool:
+    """Compile-check the epsilon early-stop path on a tiny pair before any
+    headline run. The predicated Pallas kernel (tvl1_pallas epsilon>0) is
+    validated in interpret mode by CI, but CI has no Mosaic lowering; if
+    the real-TPU compile ever regresses, fall back to epsilon=0 for the
+    whole bench (correct, just slower) instead of producing no artifact."""
+    if not on_tpu:
+        return True
+    try:
+        import jax.numpy as jnp
+
+        from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
+
+        tiny = _make_clip(3, 64, 128)
+        f = tvl1_flow_pairs(jnp.asarray(tiny[:-1]), jnp.asarray(tiny[1:]),
+                            nscales=2, warps=1, outer_iters=2, inner_iters=4,
+                            use_pallas=True, epsilon=0.01)
+        return bool(np.isfinite(float(jnp.sum(jnp.abs(f)))))
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"# epsilon path failed on this backend ({exc!r}); "
+              "falling back to epsilon=0", flush=True)
+        return False
+
+
 def main() -> None:
     import jax
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    if not _epsilon_canary(on_tpu):
+        SOLVER_PARAMS["epsilon"] = 0.0
     h, w = 480, 640
     if "--measure-cpu" in sys.argv:
         clip = _make_clip(3, h, w)
@@ -226,7 +252,8 @@ def main() -> None:
         # --- BASELINE config 1: otsu + TVL1, full e2e incl. decode ---
         from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
 
-        cfg = OpticalFlowCalculationConfig(tvl1_use_pallas=on_tpu)
+        cfg = OpticalFlowCalculationConfig(
+            tvl1_use_pallas=on_tpu, tvl1_epsilon=SOLVER_PARAMS["epsilon"])
         dt = _steady_state_clip_seconds(
             dcm_path, tmp, "otsu", reps, mode="otsu", no_saliency=True,
             OF_algo="TVL1", include_waveforms=False, config=cfg)
