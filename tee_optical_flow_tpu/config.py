@@ -215,6 +215,9 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     tvl1_warps: int = 5
     tvl1_outer_iterations: int = 10
     tvl1_inner_iterations: int = 30
+    # epsilon: OpenCV's early-stop criterion (0 = fixed counts); gamma:
+    # OpenCV's illumination term (a third primal field; 0 = off, the
+    # OpenCV/reference default — ops/tvl1._tvl1_scale_gamma)
     tvl1_epsilon: float = 0.01
     tvl1_gamma: float = 0.0
     tvl1_median_filtering: bool = True

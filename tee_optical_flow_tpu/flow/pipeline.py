@@ -149,7 +149,8 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
             use_pallas=config.tvl1_use_pallas,
-            epsilon=config.tvl1_epsilon)
+            epsilon=config.tvl1_epsilon,
+            gamma=config.tvl1_gamma)
     else:
         from ..ops.deepflow import deepflow_pairs
 

@@ -171,6 +171,120 @@ def _tvl1_outer_eps_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
     return u, v, p11, p12, p21, p22
 
 
+def _tvl1_scale_gamma(i0, i1, u, v, w, *, lam, tau, theta, gamma, warps,
+                      outer_iters, inner_iters, use_median, max_disp,
+                      epsilon=0.0):
+    """One pyramid level of the gamma-extended solver (OpenCV DualTVL1's
+    ``gamma`` illumination term): a third primal field w models additive
+    illumination change, the residual becomes
+    rho = I1w + (u-u0)·I1wx + (v-v0)·I1wy + gamma·w - I0, the data-step
+    threshold uses grad + gamma^2, and w gets its own TV dual (p31, p32).
+    The reference pipeline never enables it (OpenCV default gamma=0), so
+    this path is XLA-only (no Pallas kernel) and exists for config-surface
+    parity; per-pair epsilon early stop is supported with the same
+    semantics as _tvl1_outer_eps_xla (error over the u/v updates).
+    """
+    b, h, w_ = u.shape
+    i1x, i1y = centered_gradient(i1)
+    l_t = lam * theta
+    taut = tau / theta
+    g2 = gamma * gamma
+    thresh = jnp.float32(epsilon * epsilon * h * w_) if epsilon > 0 else None
+
+    zeros = jnp.zeros_like(u)
+    ps = (zeros,) * 6  # p11, p12, p21, p22, p31, p32
+
+    def warp_body(_, carry):
+        u, v, w, p11, p12, p21, p22, p31, p32 = carry
+        if max_disp > _WARP_LOCAL_R:
+            i1w, i1wx, i1wy = warp_many_shift_tiled2d(
+                (i1, i1x, i1y), u, v, max_disp=max_disp,
+                local_r=_WARP_LOCAL_R)
+        else:
+            i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
+                                              max_disp=max_disp)
+        grad = i1wx * i1wx + i1wy * i1wy + g2
+        rho_c = i1w - i1wx * u - i1wy * v - i0
+        th = l_t * grad
+        inv_grad = jnp.where(grad > _GRAD_EPS,
+                             1.0 / jnp.maximum(grad, _GRAD_EPS), 0.0)
+        ltx = l_t * i1wx
+        lty = l_t * i1wy
+        ltg = l_t * gamma
+
+        def step(u, v, w, p11, p12, p21, p22, p31, p32):
+            rho = rho_c + i1wx * u + i1wy * v + gamma * w
+            neg = rho < -th
+            pos = rho > th
+            rg = rho * inv_grad
+            d1 = jnp.where(neg, ltx, jnp.where(pos, -ltx, -rg * i1wx))
+            d2 = jnp.where(neg, lty, jnp.where(pos, -lty, -rg * i1wy))
+            d3 = jnp.where(neg, ltg, jnp.where(pos, -ltg, -rg * gamma))
+            un = (u + d1) + theta * divergence(p11, p12)
+            vn = (v + d2) + theta * divergence(p21, p22)
+            wn = (w + d3) + theta * divergence(p31, p32)
+            ux, uy = forward_diff(un)
+            vx, vy = forward_diff(vn)
+            wx, wy = forward_diff(wn)
+            ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+            ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+            ng3 = 1.0 + taut * jnp.sqrt(wx * wx + wy * wy)
+            return (un, vn, wn,
+                    (p11 + taut * ux) / ng1, (p12 + taut * uy) / ng1,
+                    (p21 + taut * vx) / ng2, (p22 + taut * vy) / ng2,
+                    (p31 + taut * wx) / ng3, (p32 + taut * wy) / ng3)
+
+        if epsilon > 0.0:
+            def inner_cond(c):
+                j, err = c[0], c[1]
+                return (j < inner_iters) & jnp.any(err > thresh)
+
+            def inner_body(c):
+                j, err, u, v, w, *p = c
+                act = err > thresh
+                m = act[:, None, None]
+                un, vn, wn, *pn = step(u, v, w, *p)
+                derr = jnp.sum((un - u) ** 2 + (vn - v) ** 2, axis=(1, 2))
+                err = jnp.where(act, derr, err)
+                out = [jnp.where(m, a, b) for a, b in
+                       zip((un, vn, wn) + tuple(pn), (u, v, w) + tuple(p))]
+                return (j + 1, err, *out)
+
+            def outer_cond(c):
+                i, err = c[0], c[1]
+                return (i < outer_iters) & jnp.any(err > thresh)
+
+            def outer_body(c):
+                i, err, u, v, w, *p = c
+                if use_median:
+                    m = (err > thresh)[:, None, None]
+                    u = jnp.where(m, median_filter_5x5(u), u)
+                    v = jnp.where(m, median_filter_5x5(v), v)
+                c2 = lax.while_loop(inner_cond, inner_body,
+                                    (jnp.int32(0), err, u, v, w, *p))
+                return (i + 1, *c2[1:])
+
+            err0 = jnp.full((b,), jnp.inf, jnp.float32)
+            res = lax.while_loop(outer_cond, outer_body,
+                                 (jnp.int32(0), err0, u, v, w, *carry[3:]))
+            return tuple(res[2:])
+
+        def outer_body(_, c):
+            u, v, w, *p = c
+            if use_median:
+                u = median_filter_5x5(u)
+                v = median_filter_5x5(v)
+            def inner(_, c2):
+                return step(*c2)
+            return lax.fori_loop(0, inner_iters, inner,
+                                 (u, v, w, *p))
+
+        return lax.fori_loop(0, outer_iters, outer_body, carry)
+
+    u, v, w, *_ = lax.fori_loop(0, warps, warp_body, (u, v, w) + ps)
+    return u, v, w
+
+
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                 inner_iters, use_median, max_disp, use_pallas=False,
                 pallas_tile_h=256, epsilon=0.0):
@@ -258,7 +372,7 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
                      "outer_iters", "inner_iters", "use_median", "max_disp",
-                     "use_pallas", "pallas_tile_h", "epsilon"))
+                     "use_pallas", "pallas_tile_h", "epsilon", "gamma"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
@@ -266,7 +380,8 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     use_median: bool = True, max_disp: int = 16,
                     use_pallas: bool = False,
                     pallas_tile_h: int = 256,
-                    epsilon: float = 0.0) -> jnp.ndarray:
+                    epsilon: float = 0.0,
+                    gamma: float = 0.0) -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
@@ -285,6 +400,11 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     0.01 via OpticalFlowCalculationConfig.tvl1_epsilon. Early stopping
     applies on the fused-Pallas and XLA paths; the tiled big-image kernel
     runs the full budget (see _tvl1_scale note).
+
+    ``gamma`` > 0 enables OpenCV DualTVL1's illumination term (a third
+    primal field absorbing additive brightness change; see
+    _tvl1_scale_gamma). OpenCV's and the reference's default is 0; the
+    gamma path is XLA-only (use_pallas is ignored for it).
     """
     if use_pallas:
         # the Pallas kernels only lower on the TPU backend; the config
@@ -302,21 +422,35 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     ch, cw = shapes[-1]
     u = jnp.zeros((b, ch, cw), jnp.float32)
     v = jnp.zeros((b, ch, cw), jnp.float32)
+    w = jnp.zeros((b, ch, cw), jnp.float32)  # gamma illumination field
     for lvl in range(len(shapes) - 1, -1, -1):
         # motion measured in level-lvl pixels scales by zoom^lvl
         lvl_disp = max(3, int(round(max_disp * (zoom ** lvl))) + 1)
-        u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
-                           lam=lam, tau=tau, theta=theta, warps=warps,
-                           outer_iters=outer_iters, inner_iters=inner_iters,
-                           use_median=use_median, max_disp=lvl_disp,
-                           use_pallas=use_pallas, pallas_tile_h=pallas_tile_h,
-                           epsilon=epsilon)
+        if gamma > 0.0:
+            u, v, w = _tvl1_scale_gamma(
+                pyr0[lvl], pyr1[lvl], u, v, w,
+                lam=lam, tau=tau, theta=theta, gamma=gamma, warps=warps,
+                outer_iters=outer_iters, inner_iters=inner_iters,
+                use_median=use_median, max_disp=lvl_disp, epsilon=epsilon)
+        else:
+            u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
+                               lam=lam, tau=tau, theta=theta, warps=warps,
+                               outer_iters=outer_iters,
+                               inner_iters=inner_iters,
+                               use_median=use_median, max_disp=lvl_disp,
+                               use_pallas=use_pallas,
+                               pallas_tile_h=pallas_tile_h,
+                               epsilon=epsilon)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
             sy = nh / shapes[lvl][0]
             u = resize_bilinear(u, nh, nw) * sx
             v = resize_bilinear(v, nh, nw) * sy
+            if gamma > 0.0:
+                # illumination is an intensity, not a displacement: no
+                # per-axis scale factor on upsample
+                w = resize_bilinear(w, nh, nw)
     return jnp.stack([u, v], axis=-1)
 
 
@@ -339,6 +473,7 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
             use_median=config.tvl1_median_filtering,
             max_disp=config.tvl1_max_displacement,
             epsilon=config.tvl1_epsilon,
+            gamma=config.tvl1_gamma,
         )
         if config.tvl1_use_pallas:
             import jax as _jax

@@ -138,10 +138,17 @@ def zoom_in(f: np.ndarray, nh: int, nw: int) -> np.ndarray:
 
 
 def tvl1_scale_oracle(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
-                      inner_iters, epsilon, median_kernel):
-    """One pyramid level of the IPOL/OpenCV primal-dual solver."""
+                      inner_iters, epsilon, median_kernel, gamma=0.0,
+                      w_illum=None):
+    """One pyramid level of the IPOL/OpenCV primal-dual solver.
+
+    ``gamma`` > 0 adds OpenCV DualTVL1's illumination term: a third primal
+    field ``w_illum`` absorbing additive brightness change with its own TV
+    dual, rho gaining +gamma*w and the data-step denominator gaining
+    +gamma^2 (the float64 twin of ops/tvl1._tvl1_scale_gamma)."""
     l_t = lam * theta
     taut = tau / theta
+    g2 = gamma * gamma
     i1x, i1y = centered_gradient(i1)
     h, w = i0.shape
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -149,13 +156,16 @@ def tvl1_scale_oracle(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     p12 = np.zeros_like(u)
     p21 = np.zeros_like(u)
     p22 = np.zeros_like(u)
+    wi = np.zeros_like(u) if w_illum is None else w_illum
+    p31 = np.zeros_like(u)
+    p32 = np.zeros_like(u)
 
     for _ in range(warps):
         sx, sy = xx + u, yy + v
         i1w = bicubic_sample(i1, sx, sy)
         i1wx = bicubic_sample(i1x, sx, sy)
         i1wy = bicubic_sample(i1y, sx, sy)
-        grad = i1wx * i1wx + i1wy * i1wy
+        grad = i1wx * i1wx + i1wy * i1wy + g2
         rho_c = i1w - i1wx * u - i1wy * v - i0
 
         error = np.inf
@@ -168,7 +178,7 @@ def tvl1_scale_oracle(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
             for _inner in range(inner_iters):
                 if error <= epsilon * epsilon:
                     break
-                rho = rho_c + i1wx * u + i1wy * v
+                rho = rho_c + i1wx * u + i1wy * v + gamma * wi
                 th = l_t * grad
                 mask_lo = rho < -th
                 mask_hi = rho > th
@@ -177,11 +187,15 @@ def tvl1_scale_oracle(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                               np.where(mask_hi, -l_t * i1wx, 0.0))
                 d2 = np.where(mask_lo, l_t * i1wy,
                               np.where(mask_hi, -l_t * i1wy, 0.0))
+                d3 = np.where(mask_lo, l_t * gamma,
+                              np.where(mask_hi, -l_t * gamma, 0.0))
                 safe_grad = np.where(grad > GRAD_IS_ZERO, grad, 1.0)
                 d1 = np.where(mask_mid, -rho * i1wx / safe_grad, d1)
                 d2 = np.where(mask_mid, -rho * i1wy / safe_grad, d2)
+                d3 = np.where(mask_mid, -rho * gamma / safe_grad, d3)
                 v1 = u + d1
                 v2 = v + d2
+                v3 = wi + d3
                 uk, vk = u, v
                 u = v1 + theta * divergence(p11, p12)
                 v = v2 + theta * divergence(p21, p22)
@@ -194,7 +208,13 @@ def tvl1_scale_oracle(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                 p12 = (p12 + taut * uy) / ng1
                 p21 = (p21 + taut * vx) / ng2
                 p22 = (p22 + taut * vy) / ng2
-    return u, v
+                if gamma > 0.0:
+                    wi = v3 + theta * divergence(p31, p32)
+                    wx_, wy_ = forward_gradient(wi)
+                    ng3 = 1.0 + taut * np.sqrt(wx_ * wx_ + wy_ * wy_)
+                    p31 = (p31 + taut * wx_) / ng3
+                    p32 = (p32 + taut * wy_) / ng3
+    return u, v, wi
 
 
 def tvl1_flow_oracle(i0: np.ndarray, i1: np.ndarray, *,
@@ -202,13 +222,14 @@ def tvl1_flow_oracle(i0: np.ndarray, i1: np.ndarray, *,
                      nscales: int = 5, zoom: float = 0.8, warps: int = 5,
                      outer_iters: int = 10, inner_iters: int = 30,
                      epsilon: float = 0.01, median_kernel: int = 5,
-                     min_size: int = 16) -> np.ndarray:
+                     gamma: float = 0.0, min_size: int = 16) -> np.ndarray:
     """Dense TV-L1 flow for one frame pair, (H, W) in [0, 255] ->
     (H, W, 2) with flow[..., 0]=dx, flow[..., 1]=dy.
 
     Defaults are OpenCV's DualTVL1 defaults with the reference's λ=0.15
     already OpenCV's default. ``median_kernel=0`` gives the pure IPOL
-    algorithm (no flow median); ``epsilon=0`` disables early stopping.
+    algorithm (no flow median); ``epsilon=0`` disables early stopping;
+    ``gamma`` > 0 enables the illumination term (OpenCV default 0).
     """
     i0 = np.asarray(i0, np.float64)
     i1 = np.asarray(i1, np.float64)
@@ -228,15 +249,19 @@ def tvl1_flow_oracle(i0: np.ndarray, i1: np.ndarray, *,
     ch, cw = shapes[-1]
     u = np.zeros((ch, cw))
     v = np.zeros((ch, cw))
+    wi = np.zeros((ch, cw))
     for lvl in range(len(shapes) - 1, -1, -1):
-        u, v = tvl1_scale_oracle(
+        u, v, wi = tvl1_scale_oracle(
             pyr0[lvl], pyr1[lvl], u, v, lam=lam, tau=tau, theta=theta,
             warps=warps, outer_iters=outer_iters, inner_iters=inner_iters,
-            epsilon=epsilon, median_kernel=median_kernel)
+            epsilon=epsilon, median_kernel=median_kernel, gamma=gamma,
+            w_illum=wi)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             u = zoom_in(u, nh, nw) * (nw / shapes[lvl][1])
             v = zoom_in(v, nh, nw) * (nh / shapes[lvl][0])
+            # illumination is an intensity: upsampled without scaling
+            wi = zoom_in(wi, nh, nw)
     return np.stack([u, v], axis=-1)
 
 
