@@ -31,6 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--if_update_encoder", action="store_true", default=True)
     parser.add_argument("--freeze_encoder", action="store_true")
     parser.add_argument("--lora_rank", type=int, default=4)
+    # PEFT placement flags (reference cfg.py:59-67). Adapters: which
+    # encoder blocks/stages get them and whether the mask decoder does.
+    # LoRA: whether encoder/decoder get factors, and which encoder blocks
+    # ([] = every block, the reference's documented semantics); unlike the
+    # reference, leaving BOTH lora flags off keeps factors everywhere
+    # instead of silently training nothing.
+    parser.add_argument("--if_encoder_adapter", action="store_true")
+    parser.add_argument("--encoder_adapter_depths", type=int, nargs="*",
+                        default=[0, 1, 10, 11],
+                        help="block indices (vit_b/l/h) or stage indices "
+                             "0-3 (vit_t) that get adapters")
+    parser.add_argument("--if_mask_decoder_adapter", action="store_true")
+    parser.add_argument("--if_encoder_lora_layer", action="store_true")
+    parser.add_argument("--if_decoder_lora_layer", action="store_true")
+    parser.add_argument("--encoder_lora_layer", type=int, nargs="*",
+                        default=[])
     parser.add_argument("--sam_ckpt", type=str, default=None,
                         help="torch .pth (mobile_sam.pt or fine-tuned) to "
                              "convert as initialization")
@@ -72,6 +88,12 @@ def main(argv=None) -> int:
         out_size=args.out_size, epochs=args.epochs, b=args.batch_size,
         lr=args.lr, warmup=not args.no_warmup,
         warmup_period=args.warmup_period, lora_rank=args.lora_rank,
+        lora_layers=args.encoder_lora_layer or None,
+        if_encoder_lora_layer=args.if_encoder_lora_layer,
+        if_decoder_lora_layer=args.if_decoder_lora_layer,
+        if_encoder_adapter=args.if_encoder_adapter,
+        encoder_adapter_depths=list(args.encoder_adapter_depths),
+        if_mask_decoder_adapter=args.if_mask_decoder_adapter,
         if_update_encoder=not args.freeze_encoder,
         dir_checkpoint=args.dir_checkpoint, targets=args.targets,
         layer_lr_decay=args.layer_lr_decay,
@@ -80,16 +102,37 @@ def main(argv=None) -> int:
     safe_makedir(cfg.dir_checkpoint)
     cfg.to_json(os.path.join(cfg.dir_checkpoint, "args.json"))
 
+    build_kwargs = {}
+    if args.finetune_type == "adapter":
+        # without any adapter placement the trainable set would be empty —
+        # the reference silently trains nothing in that case
+        if not (args.if_encoder_adapter or args.if_mask_decoder_adapter):
+            raise SystemExit(
+                "finetune_type=adapter needs --if_encoder_adapter and/or "
+                "--if_mask_decoder_adapter (otherwise no adapter modules "
+                "exist and nothing would train)")
+        if args.if_encoder_adapter:
+            key = ("adapter_stages" if args.arch == "vit_t"
+                   else "adapter_blocks")
+            build_kwargs[key] = tuple(args.encoder_adapter_depths)
+        build_kwargs["use_decoder_adapter"] = args.if_mask_decoder_adapter
+
     model, variables = sam_model_registry[args.arch](
         num_classes=args.num_cls, image_size=args.image_size,
-        checkpoint=args.sam_ckpt, seed=args.seed)
+        checkpoint=args.sam_ckpt, seed=args.seed, **build_kwargs)
 
     lora_params = lora_merge = None
     if args.finetune_type == "lora":
         from ..models.lora import init_lora, merge_lora
 
-        lora_params = init_lora(variables["params"], rank=args.lora_rank,
-                                seed=args.seed)
+        # either explicit placement flag -> honor exactly (reference
+        # cfg.py:65-67 semantics); neither -> factors everywhere
+        any_flag = args.if_encoder_lora_layer or args.if_decoder_lora_layer
+        lora_params = init_lora(
+            variables["params"], rank=args.lora_rank, seed=args.seed,
+            encoder=args.if_encoder_lora_layer or not any_flag,
+            decoder=args.if_decoder_lora_layer or not any_flag,
+            encoder_layers=args.encoder_lora_layer)
         lora_merge = merge_lora
 
     train_ds = PublicDataset(args.img_folder, args.mask_folder,

@@ -295,11 +295,15 @@ class TrainConfig(_JsonMixin):
     warmup_period: int = 200
     poly_power: float = 0.9
     lora_rank: int = 4
+    # PEFT placement (reference cfg.py:59-67): which encoder blocks (or
+    # vit_t stages) get adapters / LoRA factors; [] = every block for LoRA
     lora_layers: Optional[List[int]] = None
-    adapter_depth: int = 12
     if_update_encoder: bool = True
     if_encoder_lora_layer: bool = False
     if_decoder_lora_layer: bool = False
+    if_encoder_adapter: bool = False
+    encoder_adapter_depths: List[int] = field(default_factory=lambda: [0, 1, 10, 11])
+    if_mask_decoder_adapter: bool = False
     eval_interval: int = 2
     early_stop_patience: int = 20
     dir_checkpoint: str = "checkpoints"

@@ -74,19 +74,34 @@ def _get(tree, path):
 
 def init_lora(params: Dict, rank: int = 4, seed: int = 0,
               encoder: bool = True, decoder: bool = True,
-              encoder_heads: Optional[Dict[str, int]] = None) -> Dict:
+              encoder_heads: Optional[Dict[str, int]] = None,
+              encoder_layers: Optional[List[int]] = None) -> Dict:
     """Create the LoRA factor pytree {site_key: {'a': ..., 'b': ...}}.
 
     For fused qkv sites two factor pairs are created (q and v). B is
     zero-initialized so the merged model starts identical to the base.
+
+    ``encoder_layers`` restricts the encoder surgery to the given flat
+    attention-block indices (the reference's ``encoder_lora_layer`` list,
+    cfg.py:67, which indexes the encoder's blocks in order; an empty or
+    None list means every block — the reference's documented "[] adds at
+    each layer" semantics). Encoder sites are indexed in parameter-tree
+    walk order, which is module creation order (stage by stage, block by
+    block) — the same flat order the reference enumerates.
     """
     key = jax.random.PRNGKey(seed)
     lora: Dict[str, Dict[str, jnp.ndarray]] = {}
+    wanted = set(encoder_layers or [])
+    enc_idx = -1
     for path, kind in _iter_attn_sites(params):
         in_enc = path[0] == "image_encoder"
+        if in_enc:
+            enc_idx += 1
         if in_enc and not encoder:
             continue
         if not in_enc and not decoder:
+            continue
+        if in_enc and wanted and enc_idx not in wanted:
             continue
         kernel = _get(params, path)["kernel"]
         fan_in = kernel.shape[0]

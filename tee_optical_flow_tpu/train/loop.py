@@ -190,6 +190,12 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
         else:
             trainable, frozen = partition_params(
                 params, trainable_predicate(finetune_type, if_update_encoder))
+        if not jax.tree_util.tree_leaves(trainable):
+            raise ValueError(
+                f"finetune_type={finetune_type!r} selected ZERO trainable "
+                "parameters — for 'adapter' the model must be built with "
+                "adapter modules (adapter_stages/adapter_blocks/"
+                "use_decoder_adapter), for 'lora' pass init_lora factors")
         opt_state = runtime.tx.init(trainable)
 
         def put(tree, shardings=None):

@@ -144,6 +144,63 @@ def test_lora_init_and_merge(tiny_sam):
     assert set(changed.tolist()) <= set(q_cols.tolist())
 
 
+def test_lora_encoder_layer_restriction(tiny_sam):
+    """Reference cfg.py:65-67 placement semantics: encoder_layers
+    restricts the encoder surgery to the given flat block indices ([] =
+    every block); encoder/decoder toggles drop whole halves."""
+    model, variables = tiny_sam
+    params = variables["params"]
+    full = init_lora(params, rank=2, seed=0)
+    n_enc_full = sum(1 for k in full if k.startswith("image_encoder"))
+    assert n_enc_full > 1
+
+    one = init_lora(params, rank=2, seed=0, encoder_layers=[0])
+    n_enc_one = sum(1 for k in one if k.startswith("image_encoder"))
+    assert n_enc_one == 1
+    # decoder untouched by the encoder restriction
+    assert (sum(1 for k in one if not k.startswith("image_encoder"))
+            == sum(1 for k in full if not k.startswith("image_encoder")))
+
+    enc_only = init_lora(params, rank=2, seed=0, decoder=False)
+    assert all(k.startswith("image_encoder") for k in enc_only)
+    dec_only = init_lora(params, rank=2, seed=0, encoder=False)
+    assert not any(k.startswith("image_encoder") for k in dec_only)
+    # restricted factors still merge cleanly
+    merged = merge_lora(params, one)
+    assert len(jax.tree_util.tree_leaves(merged)) == \
+        len(jax.tree_util.tree_leaves(params))
+
+
+def test_empty_trainable_set_raises(tiny_sam):
+    """finetune_type=adapter on a model built WITHOUT adapter modules
+    must fail loudly at init (the reference silently trains nothing)."""
+    from tee_optical_flow_tpu.config import TrainConfig
+    from tee_optical_flow_tpu.train.loop import build_runtime, make_train_step
+
+    model, variables = tiny_sam
+    cfg = TrainConfig(num_cls=3, image_size=64, out_size=16, lr=1e-3,
+                      warmup_period=2, epochs=1, finetune_type="adapter")
+    runtime = build_runtime(cfg, steps_per_epoch=1)
+    init_state, _ = make_train_step(model, runtime, finetune_type="adapter")
+    with pytest.raises(ValueError, match="ZERO trainable"):
+        init_state(variables)
+
+
+def test_train_cli_peft_flags_parse():
+    from tee_optical_flow_tpu.cli.train import build_parser
+
+    args = build_parser().parse_args([
+        "--dir_checkpoint", "x", "--img_folder", "i", "--mask_folder", "m",
+        "--train_img_list", "t.csv", "--val_img_list", "v.csv",
+        "--finetune_type", "lora", "--if_encoder_lora_layer",
+        "--encoder_lora_layer", "0", "2",
+        "--if_encoder_adapter", "--encoder_adapter_depths", "1", "3",
+        "--if_mask_decoder_adapter"])
+    assert args.encoder_lora_layer == [0, 2]
+    assert args.encoder_adapter_depths == [1, 3]
+    assert args.if_mask_decoder_adapter
+
+
 def test_qkv_qv_columns():
     q, v = qkv_qv_columns(8, 2)  # kd=4, per-head layout q0..3 k4..7 v8..11
     assert q.tolist() == [0, 1, 2, 3, 12, 13, 14, 15]
