@@ -41,10 +41,40 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--include_waveforms", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--recalculate", action="store_true")
+    parser.add_argument("--config", type=str, default=None,
+                        help="PipelineConfig JSON (config.py): supplies "
+                             "mode/of_algo/saliency/WASE/waveforms/solver "
+                             "knobs and the device policy; CLI flags that "
+                             "differ from their parser defaults override "
+                             "the file")
     return parser
 
 
-def load_segmentor(checkpoint_dir: str, arch: str = "vit_t"):
+def _apply_pipeline_config(args, parser) -> "object":
+    """Load ``--config`` (a PipelineConfig JSON), validate it, and fold it
+    into ``args`` — any flag left at its parser default takes the file's
+    value. Returns the loaded PipelineConfig (or None)."""
+    from ..config import PipelineConfig, validate_pipeline_config
+
+    if args.config is None:
+        return None
+    cfg = PipelineConfig.from_json(args.config)
+    validate_pipeline_config(cfg)
+    file_values = {
+        "mode": cfg.mode,
+        "of_algo": "TVL1" if cfg.of_algo == "tvl1" else "deepflow",
+        "saliency": not cfg.no_saliency,
+        "bkgd_comp": "WASE" if cfg.wase else "none",
+        "include_waveforms": cfg.include_waveforms,
+    }
+    for name, value in file_values.items():
+        if getattr(args, name) == parser.get_default(name):
+            setattr(args, name, value)
+    return cfg
+
+
+def load_segmentor(checkpoint_dir: str, arch: str = "vit_t",
+                   model_dtype: str = "bfloat16", data_axis=None):
     """Rebuild the segmentor from a run directory (args.json + checkpoint),
     mirroring reference _load_segmentor_model
     (calculate_optical_flow.py:662-696). Accepts either an orbax snapshot
@@ -66,14 +96,16 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t"):
 
     torch_ckpt = os.path.join(checkpoint_dir, "checkpoint_best.pth")
     orbax_ckpt = os.path.join(checkpoint_dir, "checkpoint_best")
-    # bf16 compute for inference (labels come from an argmax, robust to
-    # the precision drop; 99.7% label agreement vs f32 measured on v5e)
+    # bf16 compute for inference by default (labels come from an argmax,
+    # robust to the precision drop; 99.7% label agreement vs f32 measured
+    # on v5e) — DeviceConfig.model_dtype overrides
+    dtype = jnp.bfloat16 if model_dtype == "bfloat16" else jnp.float32
     if os.path.exists(torch_ckpt):
         model, variables = sam_model_registry[arch](
-            num_classes=num_cls, checkpoint=torch_ckpt, dtype=jnp.bfloat16)
+            num_classes=num_cls, checkpoint=torch_ckpt, dtype=dtype)
     else:
         model, variables = sam_model_registry[arch](num_classes=num_cls,
-                                                    dtype=jnp.bfloat16)
+                                                    dtype=dtype)
         if os.path.isdir(orbax_ckpt):
             from ..train.checkpoint import load_checkpoint
 
@@ -81,16 +113,23 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t"):
                 "params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {})})
             variables = {k: v for k, v in restored.items() if v is not None}
+    mesh = None
+    if data_axis and data_axis > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_axis=data_axis, model_axis=1)
     # micro_batch 16: at 1024^2 on v5e the segmentor measured 25.4 fps at
     # (f32, mb=4) and 32.4 fps at (bf16, mb=16) with the one-DMA clip path
-    return make_clip_segmentor(model, variables, micro_batch=16)
+    return make_clip_segmentor(model, variables, micro_batch=16, mesh=mesh)
 
 
 def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    pipeline_cfg = _apply_pipeline_config(args, parser)
 
     from ..flow.pipeline import process_folder
 
@@ -98,7 +137,17 @@ def main(argv=None) -> int:
     if args.mode != "otsu":
         if args.checkpoint_dir is None:
             raise SystemExit("--checkpoint_dir is required for SAM modes")
-        segmentor = load_segmentor(args.checkpoint_dir, args.arch)
+        dev = pipeline_cfg.device if pipeline_cfg is not None else None
+        segmentor = load_segmentor(
+            args.checkpoint_dir, args.arch,
+            model_dtype=dev.model_dtype if dev else "bfloat16",
+            data_axis=dev.data_axis if dev else None)
+
+    extra = {}
+    if pipeline_cfg is not None:
+        extra["config"] = pipeline_cfg.flow
+        if pipeline_cfg.save_mask_subset is not None:
+            extra["save_mask_subset"] = pipeline_cfg.save_mask_subset
 
     all_errors = []
     for chunk_index in range(args.nchunks):
@@ -110,7 +159,7 @@ def main(argv=None) -> int:
             mode=args.mode, bkgd_comp=args.bkgd_comp, flipLR=args.flipLR,
             no_saliency=not args.saliency, OF_algo=args.of_algo,
             include_waveforms=args.include_waveforms,
-            waveform_folder=args.waveform_folder)
+            waveform_folder=args.waveform_folder, **extra)
         all_errors.extend(errors)
     from ..utils import get_stage_report
 

@@ -263,19 +263,20 @@ class OpticalFlowCalculationConfig(_JsonMixin):
 class DeviceConfig(_JsonMixin):
     """Device/mesh/dtype policy for all on-device compute."""
 
-    # mesh axis sizes; None -> use all local devices on the data axis
+    # mesh axis sizes (cli/process --config: data_axis > 1 builds a
+    # frame-axis DP mesh for the segmentor); None -> single device
     data_axis: Optional[int] = None
     model_axis: int = 1
-    # dtype policy
-    compute_dtype: str = "float32"   # flow solver precision
-    model_dtype: str = "bfloat16"    # SAM inference precision
-    param_dtype: str = "float32"
+    # dtype policy: compute_dtype is the flow solver precision (float32 is
+    # the only supported value — validated), model_dtype the SAM inference
+    # precision (cli/process.load_segmentor)
+    compute_dtype: str = "float32"
+    model_dtype: str = "bfloat16"
     # clip-shape bucketing for generic device programs; the flow pipeline
     # reads the equivalently-named knobs on OpticalFlowCalculationConfig
     # (core.py documents the policy)
     frame_bucket: int = 8            # pad clip length to a multiple of this
     spatial_bucket: int = 32         # pad H/W to a multiple of this
-    donate_buffers: bool = True
 
 
 @dataclass
@@ -401,3 +402,15 @@ def validate_pipeline_config(cfg: PipelineConfig) -> None:
         raise ConfigurationError("lambda_value must be positive")
     if not (0 < cfg.flow.tvl1_zoom_factor < 1):
         raise ConfigurationError("tvl1_zoom_factor must be in (0, 1)")
+    if cfg.mode == "otsu" and cfg.wase:
+        raise ConfigurationError(
+            "WASE background compensation needs segmentation masks; "
+            "mode=otsu only supports wase=False "
+            "(reference calculate_optical_flow.py:509-517)")
+    if cfg.device.compute_dtype != "float32":
+        raise ConfigurationError(
+            "device.compute_dtype: only float32 is supported for the "
+            "variational flow solvers")
+    if cfg.device.model_dtype not in ("float32", "bfloat16"):
+        raise ConfigurationError(
+            "device.model_dtype must be 'float32' or 'bfloat16'")

@@ -225,6 +225,49 @@ def test_pipeline_otsu_validation(tmp_path, rng):
                       bkgd_comp="WASE")
 
 
+def test_process_cli_config_file(tmp_path, rng):
+    """cli/process --config: a PipelineConfig JSON drives the run (mode /
+    of_algo / solver knobs / device policy) and invalid bundles fail
+    validation before any work starts."""
+    import pytest
+
+    from tee_optical_flow_tpu.cli.process import main
+    from tee_optical_flow_tpu.config import (
+        OpticalFlowCalculationConfig, PipelineConfig,
+        validate_pipeline_config)
+    from tee_optical_flow_tpu.exceptions import ConfigurationError
+
+    dcm_dir = tmp_path / "dcm"
+    dcm_dir.mkdir()
+    write_test_dicom(str(dcm_dir / "a.dcm"), _synthetic_clip(rng, n=4))
+    cfg = PipelineConfig(
+        mode="otsu", of_algo="tvl1", no_saliency=True, wase=False,
+        include_waveforms=False,
+        flow=OpticalFlowCalculationConfig(
+            tvl1_nscales=2, tvl1_zoom_factor=0.5, tvl1_warps=1,
+            tvl1_outer_iterations=1, tvl1_inner_iterations=4,
+            tvl1_use_pallas=False))
+    cfg_path = tmp_path / "pipeline.json"
+    cfg.to_json(str(cfg_path))
+
+    rc = main(["--dcm_folder", str(dcm_dir),
+               "--save_folder", str(tmp_path / "out"),
+               "--mode", "RVIO_2class",  # parser default -> file wins? no:
+               # explicit flag equals... mode default IS RVIO_2class, so the
+               # file's 'otsu' takes effect (flag left at parser default)
+               "--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "out" / "chunk0" / "a.hdf5").exists()
+
+    bad = PipelineConfig(mode="otsu", wase=True)
+    with pytest.raises(ConfigurationError, match="WASE"):
+        validate_pipeline_config(bad)
+    bad2 = PipelineConfig()
+    bad2.device.compute_dtype = "bfloat16"
+    with pytest.raises(ConfigurationError, match="compute_dtype"):
+        validate_pipeline_config(bad2)
+
+
 @pytest.mark.slow
 def test_process_folder_sharding_and_errors(tmp_path, rng):
     frames = _synthetic_clip(rng, n=3)
