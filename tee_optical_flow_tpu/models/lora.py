@@ -74,7 +74,6 @@ def _get(tree, path):
 
 def init_lora(params: Dict, rank: int = 4, seed: int = 0,
               encoder: bool = True, decoder: bool = True,
-              encoder_heads: Optional[Dict[str, int]] = None,
               encoder_layers: Optional[List[int]] = None) -> Dict:
     """Create the LoRA factor pytree {site_key: {'a': ..., 'b': ...}}.
 
