@@ -130,6 +130,50 @@ def test_viz_manager_artifacts(gated_clip, tmp_path):
         assert stats18[16] >= 1 and stats18[17] >= 1
 
 
+def test_cohort_gate_failure_zero_fills_only_that_gate(tmp_path):
+    """Per-gate failure isolation through the hoisted data passes
+    (batch/cohort.py round 3): a clip with ECG but no arterial trace must
+    zero-fill the two arterial sections of the 69-value row while the ECG
+    sections stay populated (reference analyze_optical_flow.py:1417-1470
+    zero-fills per failed gate x analysis)."""
+    rng = np.random.default_rng(5)
+    n, h, w, frame_rate = 40, 24, 24, 20.0
+    flow = rng.normal(scale=0.5, size=(n, h, w, 2)).astype(np.float32)
+    t = np.arange(n) / frame_rate
+    flow[..., 1] += np.sin(2 * np.pi * 1.0 * t)[:, None, None]
+    echo = rng.uniform(size=(n, h, w)).astype(np.float32)
+    masks = {"rv": np.zeros((n, h, w, 2), np.uint8),
+             "av": np.zeros((n, h, w, 2), np.uint8)}
+    masks["rv"][:, 4:20, 4:20, :] = 1
+    masks["av"][:, 10:14, 10:14, :] = 1
+    ecg_t = np.arange(int(2.0 * 500)) / 500.0
+    ecg = 0.05 * np.sin(2 * np.pi * 0.4 * ecg_t)
+    for beat in (0.25, 1.25):
+        c = int(beat * 500)
+        ecg[c - 10:c + 11] += 1.2 * np.hanning(21)
+    meta = {"frame_rate": frame_rate, "pixel_spacing": 0.05,
+            "R_wave_data_present": False}
+    waveforms = {"ecg": (True, ecg), "art": (False, None),
+                 "cvp": (False, None), "pap": (False, None)}
+    path = str(tmp_path / "noart.hdf5")
+    save_optical_flow_hdf5(path, flow, echo, masks, meta, waveforms,
+                           mode="RVIO_2class", no_saliency=True,
+                           include_waveforms=True, patient_id="G2")
+
+    row = analyze_cohort_file(path, param="velocity", label="rv",
+                              save_dir=str(tmp_path / "out"),
+                              analysis_config=AnalysisConfig(nbins=32))
+    assert len(row) == 69
+    ecg_total = row[15:24]
+    art_total = row[24:33]
+    ecg_radlong = row[33:51]
+    art_radlong = row[51:69]
+    assert all(v == 0 for v in art_total), art_total
+    assert all(v == 0 for v in art_radlong), art_radlong
+    assert any(v != 0 for v in ecg_total), ecg_total
+    assert any(v != 0 for v in ecg_radlong), ecg_radlong
+
+
 def test_cohort_row_and_csv(gated_clip, tmp_path):
     save_dir = str(tmp_path / "cohort_out")
     row = analyze_cohort_file(gated_clip, param="velocity", label="rv",
