@@ -61,6 +61,9 @@ import numpy as np
 # round 3: includes the epsilon=0.01 early stop on BOTH sides — the eps=0
 # fixed-count baseline was 0.0564)
 RECORDED_CPU_BASELINE_FPS = 0.0983
+# same provenance for the DeepFlow backend (this solver, XLA, 1 CPU core,
+# default settings, 480x640; re-measure with --measure-cpu)
+RECORDED_CPU_DEEPFLOW_FPS = 0.315
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
 NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
@@ -224,9 +227,19 @@ def main() -> None:
         SOLVER_PARAMS["epsilon"] = 0.0
     h, w = 480, 640
     if "--measure-cpu" in sys.argv:
+        import jax.numpy as jnp
+
+        from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+
         clip = _make_clip(3, h, w)
         dt = _measure(clip, reps=1, use_pallas=False)
         emit("tvl1_cpu_baseline_fps", round(2 / dt, 4), "frames/s")
+        i0, i1 = jnp.asarray(clip[:-1]), jnp.asarray(clip[1:])
+        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, use_pallas=False))))
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, use_pallas=False))))
+        emit("deepflow_cpu_baseline_fps",
+             round(2 / (time.perf_counter() - t0), 4), "frames/s")
         return
 
     n_clip = 33 if on_tpu else 5
@@ -348,9 +361,12 @@ def main() -> None:
             for _ in range(3):
                 flow = deepflow_pairs(df0, df1, use_pallas=True)
                 float(jnp.sum(jnp.abs(flow)))
+            df_fps = 16 * 3 / (time.perf_counter() - t0)
             emit("deepflow_frames_per_sec_per_chip_480x640",
-                 round(16 * 3 / (time.perf_counter() - t0), 3), "frames/s",
-                 baseline="OpenCV-CPU DeepFlow not installable here")
+                 round(df_fps, 3), "frames/s",
+                 vs_baseline=round(df_fps / RECORDED_CPU_DEEPFLOW_FPS, 1),
+                 baseline=BASELINE_PROVENANCE +
+                 "; OpenCV-CPU DeepFlow not installable here")
 
     # --- headline (last line): TV-L1 frames/s/chip ---
     n_frames = 17 if on_tpu else 3
