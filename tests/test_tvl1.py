@@ -330,12 +330,15 @@ def test_pallas_fused_epsilon_matches_xla_interpret(rng):
     """Interpret-mode parity of the fused kernel's in-SMEM early stop vs
     the masked XLA twin, across thresholds that stop at different depths
     (decisions may differ only by reduction-order ulps in the error sum,
-    so tolerance rather than bitwise)."""
+    so tolerance rather than bitwise). h=36 is deliberately not a
+    sublane multiple: the padded rows/cols pick up junk from the
+    on-chip median's clamped shifts, and the kernel's error sum must
+    mask them out or its stopping decisions diverge."""
     from tee_optical_flow_tpu.ops.tvl1 import _tvl1_outer_eps_xla
     from tee_optical_flow_tpu.ops.tvl1_pallas import tvl1_outer_loop_pallas
     from tee_optical_flow_tpu.ops.warp import centered_gradient, warp_many_shift
 
-    b, h, w = 2, 40, 48
+    b, h, w = 2, 36, 48
     i0 = (rng.uniform(size=(b, h, w)) * 255).astype(np.float32)
     i1 = (rng.uniform(size=(b, h, w)) * 255).astype(np.float32)
     u = (rng.normal(size=(b, h, w)) * 0.5).astype(np.float32)
