@@ -32,6 +32,13 @@ Border rows/cols (8 px band) are excluded as before: the bilinear
 shift-decomposition warp and the oracle's bicubic clamp diverge there by
 construction, and the pipeline's masked analysis never consumes them.
 
+Bicubic mode (late round 3): every TV-L1 case is also evaluated with the
+solver in ``interpolation='bicubic'`` (Catmull-Rom shift-warps + cubic
+flow upsample — the reference's own interpolator; config
+``tvl1_interpolation``) against the same oracle runs, reported under
+``tvl1_bicubic``. This isolates how much of the remaining divergence is
+the bilinear warp (most of the echo tail) vs f32-vs-f64 accumulation.
+
 Writes EPE_r{N}.json (default EPE_r03.json). Runtime: minutes per pair
 (the oracles are sequential NumPy); run in the background.
 """
@@ -70,12 +77,17 @@ def _stats(err: np.ndarray, mask=None) -> dict:
 
 
 def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None,
-                      epsilon: float = 0.0) -> dict:
+                      epsilon: float = 0.0,
+                      interpolations=("bilinear",)):
     """Solver vs oracle at identical settings. ``epsilon`` applies to BOTH
     sides: 0.0 is the deterministic protocol (iteration counts match
     exactly); 0.01 is the OpenCV default the production config runs with
     (per-pair early stop — iteration counts may differ by the f32-vs-f64
-    error-sum rounding, which is part of what the eps case measures)."""
+    error-sum rounding, which is part of what the eps case measures).
+
+    ``interpolations`` evaluates the solver in each warp-interpolation
+    mode against ONE oracle run (the oracle is always bicubic — that is
+    the reference's interpolator); returns {mode: case_report}."""
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
@@ -86,16 +98,22 @@ def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None,
                               **SETTINGS)
     t_oracle = time.perf_counter() - t0
 
-    # warm the jit cache so solver_seconds reflects steady state
-    tvl1_flow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
-                    use_median=True, use_pallas=use_pallas,
-                    epsilon=epsilon, **SETTINGS).block_until_ready()
-    t0 = time.perf_counter()
-    ours = np.asarray(tvl1_flow_pairs(
-        jnp.asarray(i0[None]), jnp.asarray(i1[None]), use_median=True,
-        use_pallas=use_pallas, epsilon=epsilon, **SETTINGS))[0]
-    t_solver = time.perf_counter() - t0
-    return _case_report(epe(ours, golden), masks, t_oracle, t_solver)
+    out = {}
+    for interp in interpolations:
+        # warm the jit cache so solver_seconds reflects steady state
+        tvl1_flow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
+                        use_median=True, use_pallas=use_pallas,
+                        epsilon=epsilon, interpolation=interp,
+                        **SETTINGS).block_until_ready()
+        t0 = time.perf_counter()
+        ours = np.asarray(tvl1_flow_pairs(
+            jnp.asarray(i0[None]), jnp.asarray(i1[None]), use_median=True,
+            use_pallas=use_pallas, epsilon=epsilon, interpolation=interp,
+            **SETTINGS))[0]
+        t_solver = time.perf_counter() - t0
+        out[interp] = _case_report(epe(ours, golden), masks, t_oracle,
+                                   t_solver)
+    return out
 
 
 def compare_pair_deepflow(i0, i1, masks=None) -> dict:
@@ -150,30 +168,36 @@ def main() -> None:
     echo_masks = {k: v for k, v in echo_sector_masks(h, w).items()
                   if k in ("sector", "wall")}
 
+    both = ("bilinear", "bicubic")
     cases = {}
+    cubic_cases = {}
     shifts = [(2.0, -3.0), (-1.3, 0.8), (4.0, 2.5)]
     for k in range(args.pairs):
         i0, i1 = make_textured_pair(k, h, w, shifts[k % len(shifts)])
-        cases[f"textured_{k}"] = compare_pair_tvl1(i0, i1, use_pallas)
-        print(f"textured_{k}: {cases[f'textured_{k}']}", flush=True)
+        r = compare_pair_tvl1(i0, i1, use_pallas, interpolations=both)
+        cases[f"textured_{k}"] = r["bilinear"]
+        cubic_cases[f"textured_{k}"] = r["bicubic"]
+        print(f"textured_{k}: {r}", flush=True)
     for k in range(args.pairs):
         i0, i1 = make_echo_pair(100 + k, h, w, contraction=0.03 + 0.02 * k)
-        cases[f"echo_{k}"] = compare_pair_tvl1(i0, i1, use_pallas,
-                                               masks=echo_masks)
-        print(f"echo_{k}: {cases[f'echo_{k}']}", flush=True)
+        r = compare_pair_tvl1(i0, i1, use_pallas, masks=echo_masks,
+                              interpolations=both)
+        cases[f"echo_{k}"] = r["bilinear"]
+        cubic_cases[f"echo_{k}"] = r["bicubic"]
+        print(f"echo_{k}: {r}", flush=True)
 
     # production-default early stop (config tvl1_epsilon=0.01, the OpenCV
     # default): one pair per class, epsilon on BOTH sides
     eps_cases = {}
     if not args.skip_epsilon:
         i0, i1 = make_textured_pair(0, h, w, shifts[0])
-        eps_cases["textured_0"] = compare_pair_tvl1(i0, i1, use_pallas,
-                                                    epsilon=0.01)
+        eps_cases["textured_0"] = compare_pair_tvl1(
+            i0, i1, use_pallas, epsilon=0.01)["bilinear"]
         print(f"eps=0.01 textured_0: {eps_cases['textured_0']}", flush=True)
         i0, i1 = make_echo_pair(100, h, w, contraction=0.03)
-        eps_cases["echo_0"] = compare_pair_tvl1(i0, i1, use_pallas,
-                                                masks=echo_masks,
-                                                epsilon=0.01)
+        eps_cases["echo_0"] = compare_pair_tvl1(
+            i0, i1, use_pallas, masks=echo_masks,
+            epsilon=0.01)["bilinear"]
         print(f"eps=0.01 echo_0: {eps_cases['echo_0']}", flush=True)
 
     df_cases = {}
@@ -189,6 +213,11 @@ def main() -> None:
     sector_p95 = [c["sector"]["p95_px"] for c in cases.values()
                   if "sector" in c]
     wall_p95 = [c["wall"]["p95_px"] for c in cases.values() if "wall" in c]
+    c_medians = [c["interior"]["median_px"] for c in cubic_cases.values()]
+    c_sector = [c["sector"]["p95_px"] for c in cubic_cases.values()
+                if "sector" in c]
+    c_wall = [c["wall"]["p95_px"] for c in cubic_cases.values()
+              if "wall" in c]
     report = {
         "metric": "flow_epe_vs_float64_oracles_px",
         "north_star_threshold_px": 0.1,
@@ -225,6 +254,22 @@ def main() -> None:
                  "and the data term vanishes — solver-vs-oracle "
                  "divergence there is smoothness-diffusion detail, not "
                  "measurement error; see module docstring"),
+        # solver in interpolation='bicubic' mode (Catmull-Rom shift-warps
+        # + cubic flow upsample — the IPOL/OpenCV reference's OWN warp
+        # interpolator, config tvl1_interpolation) against the SAME
+        # oracle runs: removes the bilinear-vs-bicubic warp divergence,
+        # leaving f32-vs-f64 accumulation as the only systematic gap
+        "tvl1_bicubic": {
+            "worst_interior_median_px": max(c_medians) if c_medians else None,
+            "worst_wall_masked_p95_px": max(c_wall) if c_wall else None,
+            "wall_masked_p95_met": (bool(max(c_wall) < 0.1)
+                                    if c_wall else None),
+            "worst_sector_masked_p95_px": (max(c_sector)
+                                           if c_sector else None),
+            "sector_masked_p95_met": (bool(max(c_sector) < 0.1)
+                                      if c_sector else None),
+            "cases": cubic_cases,
+        },
         "tvl1_cases": cases,
         # solver(eps=0.01) vs oracle(eps=0.01): the production default
         # (OpticalFlowCalculationConfig.tvl1_epsilon, OpenCV's default
@@ -235,8 +280,12 @@ def main() -> None:
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({k: v for k, v in report.items()
-                      if k not in ("tvl1_cases", "deepflow_cases")}))
+    summary = {k: v for k, v in report.items()
+               if k not in ("tvl1_cases", "deepflow_cases",
+                            "tvl1_epsilon001_cases")}
+    summary["tvl1_bicubic"] = {k: v for k, v in report["tvl1_bicubic"].items()
+                               if k != "cases"}
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -35,7 +35,8 @@ from jax import lax
 
 from .warp import (
     build_pyramid, centered_gradient, divergence, forward_diff,
-    median_filter_5x5, pyramid_shapes, resize_bilinear, warp_many_shift,
+    median_filter_5x5, pyramid_shapes, resize_bilinear,
+    resize_cubic as _resize_cubic, warp_many_shift,
     warp_many_shift_tiled2d,
 )
 
@@ -173,7 +174,7 @@ def _tvl1_outer_eps_xla(rho_c, i1wx, i1wy, grad, u, v, p11, p12, p21, p22,
 
 def _tvl1_scale_gamma(i0, i1, u, v, w, *, lam, tau, theta, gamma, warps,
                       outer_iters, inner_iters, use_median, max_disp,
-                      epsilon=0.0):
+                      epsilon=0.0, warp_kernel="bilinear"):
     """One pyramid level of the gamma-extended solver (OpenCV DualTVL1's
     ``gamma`` illumination term): a third primal field w models additive
     illumination change, the residual becomes
@@ -199,10 +200,11 @@ def _tvl1_scale_gamma(i0, i1, u, v, w, *, lam, tau, theta, gamma, warps,
         if max_disp > _WARP_LOCAL_R:
             i1w, i1wx, i1wy = warp_many_shift_tiled2d(
                 (i1, i1x, i1y), u, v, max_disp=max_disp,
-                local_r=_WARP_LOCAL_R)
+                local_r=_WARP_LOCAL_R, kernel=warp_kernel)
         else:
             i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
-                                              max_disp=max_disp)
+                                              max_disp=max_disp,
+                                              kernel=warp_kernel)
         grad = i1wx * i1wx + i1wy * i1wy + g2
         rho_c = i1w - i1wx * u - i1wy * v - i0
         th = l_t * grad
@@ -287,7 +289,7 @@ def _tvl1_scale_gamma(i0, i1, u, v, w, *, lam, tau, theta, gamma, warps,
 
 def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
                 inner_iters, use_median, max_disp, use_pallas=False,
-                pallas_tile_h=256, epsilon=0.0):
+                pallas_tile_h=256, epsilon=0.0, warp_kernel="bilinear"):
     """Run the primal-dual solver at one pyramid level. All (B, H, W)."""
     i1x, i1y = centered_gradient(i1)
     l_t = lam * theta
@@ -310,10 +312,11 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
         if max_disp > _WARP_LOCAL_R:
             i1w, i1wx, i1wy = warp_many_shift_tiled2d(
                 (i1, i1x, i1y), u, v, max_disp=max_disp,
-                local_r=_WARP_LOCAL_R)
+                local_r=_WARP_LOCAL_R, kernel=warp_kernel)
         else:
             i1w, i1wx, i1wy = warp_many_shift((i1, i1x, i1y), u, v,
-                                              max_disp=max_disp)
+                                              max_disp=max_disp,
+                                              kernel=warp_kernel)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u - i1wy * v - i0
 
@@ -372,7 +375,8 @@ def _tvl1_scale(i0, i1, u, v, *, lam, tau, theta, warps, outer_iters,
     jax.jit,
     static_argnames=("lam", "tau", "theta", "nscales", "zoom", "warps",
                      "outer_iters", "inner_iters", "use_median", "max_disp",
-                     "use_pallas", "pallas_tile_h", "epsilon", "gamma"))
+                     "use_pallas", "pallas_tile_h", "epsilon", "gamma",
+                     "interpolation"))
 def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     lam: float = 0.15, tau: float = 0.25, theta: float = 0.3,
                     nscales: int = 5, zoom: float = 0.8, warps: int = 5,
@@ -381,7 +385,8 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                     use_pallas: bool = False,
                     pallas_tile_h: int = 256,
                     epsilon: float = 0.0,
-                    gamma: float = 0.0) -> jnp.ndarray:
+                    gamma: float = 0.0,
+                    interpolation: str = "bilinear") -> jnp.ndarray:
     """Dense flow for a batch of frame pairs.
 
     i0, i1: (B, H, W) float in [0, 255]. Returns (B, H, W, 2) with
@@ -405,6 +410,13 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     primal field absorbing additive brightness change; see
     _tvl1_scale_gamma). OpenCV's and the reference's default is 0; the
     gamma path is XLA-only (use_pallas is ignored for it).
+
+    ``interpolation`` picks the warp kernel and inter-level flow
+    upsampling: "bilinear" (hat shift-warps + bilinear flow upsample —
+    the fast default) or "bicubic" (Catmull-Rom shift-warps + cubic flow
+    upsample, the IPOL/OpenCV reference's interpolation — the accuracy
+    mode; the warps ride outside the fused Pallas kernel, so both modes
+    compose with use_pallas).
     """
     if use_pallas:
         # the Pallas kernels only lower on the TPU backend; the config
@@ -431,7 +443,8 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                 pyr0[lvl], pyr1[lvl], u, v, w,
                 lam=lam, tau=tau, theta=theta, gamma=gamma, warps=warps,
                 outer_iters=outer_iters, inner_iters=inner_iters,
-                use_median=use_median, max_disp=lvl_disp, epsilon=epsilon)
+                use_median=use_median, max_disp=lvl_disp, epsilon=epsilon,
+                warp_kernel=interpolation)
         else:
             u, v = _tvl1_scale(pyr0[lvl], pyr1[lvl], u, v,
                                lam=lam, tau=tau, theta=theta, warps=warps,
@@ -440,17 +453,20 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                                use_median=use_median, max_disp=lvl_disp,
                                use_pallas=use_pallas,
                                pallas_tile_h=pallas_tile_h,
-                               epsilon=epsilon)
+                               epsilon=epsilon,
+                               warp_kernel=interpolation)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             sx = nw / shapes[lvl][1]
             sy = nh / shapes[lvl][0]
-            u = resize_bilinear(u, nh, nw) * sx
-            v = resize_bilinear(v, nh, nw) * sy
+            resize = (resize_bilinear if interpolation == "bilinear"
+                      else _resize_cubic)
+            u = resize(u, nh, nw) * sx
+            v = resize(v, nh, nw) * sy
             if gamma > 0.0:
                 # illumination is an intensity, not a displacement: no
                 # per-axis scale factor on upsample
-                w = resize_bilinear(w, nh, nw)
+                w = resize(w, nh, nw)
     return jnp.stack([u, v], axis=-1)
 
 
@@ -474,6 +490,7 @@ def tvl1_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.ndarray
             max_disp=config.tvl1_max_displacement,
             epsilon=config.tvl1_epsilon,
             gamma=config.tvl1_gamma,
+            interpolation=config.tvl1_interpolation,
         )
         if config.tvl1_use_pallas:
             import jax as _jax

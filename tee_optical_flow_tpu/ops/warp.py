@@ -24,6 +24,35 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _hat_weight(t: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear hat kernel: w(t) = max(0, 1 - |t|), support (-1, 1)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _catmull_rom_weight(t: jnp.ndarray) -> jnp.ndarray:
+    """Catmull-Rom cubic-convolution kernel (Keys, a = -0.5) — the exact
+    kernel of the IPOL reference's bicubic_interpolation.c (see
+    ops/tvl1_oracle._cubic). Support (-2, 2); partition of unity, so the
+    shift-sum formulation stays an exact interpolator. Weights go
+    negative on the outer lobes — fine for a weighted sum of shifts."""
+    a = jnp.abs(t)
+    w_inner = ((1.5 * a - 2.5) * a) * a + 1.0          # |t| <= 1
+    w_outer = ((-0.5 * a + 2.5) * a - 4.0) * a + 2.0   # 1 < |t| < 2
+    return jnp.where(a <= 1.0, w_inner,
+                     jnp.where(a < 2.0, w_outer, 0.0))
+
+
+def _kernel_taps(kernel: str, r: int):
+    """(weight_fn, extra) for a shift-sum warp whose displacement (or
+    residual) magnitude is bounded by ~r: taps must cover every integer
+    offset where the kernel is nonzero, i.e. r + support/2 on each side."""
+    if kernel == "bilinear":
+        return _hat_weight, 0
+    if kernel == "bicubic":
+        return _catmull_rom_weight, 1
+    raise ValueError(f"unknown warp kernel {kernel!r}")
+
+
 def bilinear_warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Sample img at (x + u, y + v) with bilinear interpolation, clamping
     coordinates to the border (replicate). img/u/v: (B, H, W)."""
@@ -79,37 +108,43 @@ def bilinear_warp_shift(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 
 
 def warp_many_shift(imgs, u: jnp.ndarray, v: jnp.ndarray,
-                    max_disp: int = 8):
-    """Shift-based bilinear warp of several images by the same flow,
-    sharing the hat weights. The row-offset loop is rolled (lax.fori_loop
+                    max_disp: int = 8, kernel: str = "bilinear"):
+    """Shift-based warp of several images by the same flow, sharing the
+    interpolation weights. The row-offset loop is rolled (lax.fori_loop
     with dynamic slices) so peak memory stays at a few row-slabs instead
     of (2r+1)^2 materialized shift terms; the column offsets unroll into
-    one fused FMA chain per row offset."""
+    one fused FMA chain per row offset.
+
+    ``kernel`` picks the interpolator: "bilinear" (hat weights, the fast
+    default) or "bicubic" (Catmull-Rom — the IPOL/OpenCV reference's
+    warp interpolation; one extra tap per side, ~25% more FMAs)."""
     b, h, w = imgs[0].shape
     r = int(max_disp)
+    weight, extra = _kernel_taps(kernel, r)
+    pad = r + extra
     lim = float(r) - 1e-3
     u = jnp.clip(u, -lim, lim)
     v = jnp.clip(v, -lim, lim)
 
-    padded = [jnp.pad(img, ((0, 0), (r, r), (r, r)), mode="edge")
+    padded = [jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
               for img in imgs]
 
     def body(k, acc):
-        ky = k - r
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ky.astype(jnp.float32)))
-        slabs = [lax.dynamic_slice(p, (0, k, 0), (b, h, w + 2 * r))
+        ky = k - pad
+        wy = weight(v - ky.astype(jnp.float32))
+        slabs = [lax.dynamic_slice(p, (0, k, 0), (b, h, w + 2 * pad))
                  for p in padded]
         # separable accumulation: sum the row interpolation first, apply
         # wy once per row offset (saves the per-term wy*wx product)
         partial = [jnp.zeros((b, h, w), imgs[0].dtype) for _ in imgs]
-        for kx in range(-r, r + 1):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - kx))
+        for kx in range(-pad, pad + 1):
+            wx = weight(u - kx)
             for i, slab in enumerate(slabs):
-                partial[i] = partial[i] + wx * slab[:, :, r + kx:r + kx + w]
+                partial[i] = partial[i] + wx * slab[:, :, pad + kx:pad + kx + w]
         return tuple(a + wy * pl_ for a, pl_ in zip(acc, partial))
 
     init = tuple(jnp.zeros((b, h, w), imgs[0].dtype) for _ in imgs)
-    return lax.fori_loop(0, 2 * r + 1, body, init)
+    return lax.fori_loop(0, 2 * pad + 1, body, init)
 
 
 def warp_many_shift_tiled(imgs, u: jnp.ndarray, v: jnp.ndarray,
@@ -188,7 +223,8 @@ def warp_many_shift_tiled(imgs, u: jnp.ndarray, v: jnp.ndarray,
 
 def warp_many_shift_tiled2d(imgs, u: jnp.ndarray, v: jnp.ndarray,
                             max_disp: int = 16, local_r: int = 8,
-                            tile_h: int = None, tile_w: int = None):
+                            tile_h: int = None, tile_w: int = None,
+                            kernel: str = "bilinear"):
     """2-D tiled shift-warp: like ``warp_many_shift_tiled`` but with the
     integer base offset chosen per (tile_h x tile_w) tile instead of per
     full-width row band. The base then tracks *local* motion in both
@@ -214,6 +250,7 @@ def warp_many_shift_tiled2d(imgs, u: jnp.ndarray, v: jnp.ndarray,
         tile_w = -(-(-(-w // 2)) // 32) * 32
     r = int(max_disp)
     lr = int(local_r)
+    weight, extra = _kernel_taps(kernel, lr)
     lim = float(r) - 1e-3
     u = jnp.clip(u, -lim, lim)
     v = jnp.clip(v, -lim, lim)
@@ -221,7 +258,7 @@ def warp_many_shift_tiled2d(imgs, u: jnp.ndarray, v: jnp.ndarray,
     nty = -(-h // tile_h)
     ntx = -(-w // tile_w)
     ph_, pw_ = nty * tile_h, ntx * tile_w
-    margin = lr + 1
+    margin = lr + 1 + extra
     pad = r + margin
     padded = [jnp.pad(img, ((0, 0), (pad, pad + ph_ - h), (pad, pad + pw_ - w)),
                       mode="edge") for img in imgs]
@@ -252,13 +289,13 @@ def warp_many_shift_tiled2d(imgs, u: jnp.ndarray, v: jnp.ndarray,
             (slab_rows, slab_cols)) for p_img in padded_b]
 
         outs = [jnp.zeros((tile_h, tile_w), imgs[0].dtype) for _ in imgs]
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ru - kx))
-               for kx in range(-lr, lr + 2)]
-        for ky in range(-lr, lr + 2):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rv - ky))
+        taps = range(-lr - extra, lr + 2 + extra)
+        wxs = [weight(ru - kx) for kx in taps]
+        for ky in taps:
+            wy = weight(rv - ky)
             rowacc = [jnp.zeros((tile_h, tile_w), imgs[0].dtype)
                       for _ in imgs]
-            for j, kx in enumerate(range(-lr, lr + 2)):
+            for j, kx in enumerate(taps):
                 for i, slab in enumerate(slabs):
                     rowacc[i] = rowacc[i] + wxs[j] * slab[
                         margin + ky:margin + ky + tile_h,
@@ -339,6 +376,12 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
 def resize_bilinear(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """(B, H, W) -> (B, h, w)."""
     return jax.image.resize(img, (img.shape[0], h, w), method="bilinear")
+
+
+def resize_cubic(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, H, W) -> (B, h, w) with the Keys a=-0.5 cubic (Catmull-Rom
+    family — the kernel of the IPOL reference's bicubic zoom)."""
+    return jax.image.resize(img, (img.shape[0], h, w), method="cubic")
 
 
 def pyramid_shapes(h: int, w: int, nscales: int, zoom: float, min_size: int = 16):

@@ -130,6 +130,57 @@ def test_bilinear_warp_shift_matches_gather(rng):
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_cubic_shift_warp_matches_oracle_bicubic(rng):
+    """The Catmull-Rom shift warp (dense and 2-D tiled) must reproduce the
+    IPOL oracle's direct bicubic sampling exactly (to f32 rounding) — the
+    'bicubic' interpolation mode's warp is then oracle-identical."""
+    from tee_optical_flow_tpu.ops.tvl1_oracle import bicubic_warp
+    from tee_optical_flow_tpu.ops.warp import (
+        warp_many_shift, warp_many_shift_tiled2d,
+    )
+
+    b, h, w = 2, 40, 56
+    img = rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+    yy = np.linspace(0, 3, h)[None, :, None]
+    xx = np.linspace(0, 2, w)[None, None, :]
+    u = (3.0 * np.sin(yy) * np.cos(xx) * np.ones((b, 1, 1))).astype(np.float32)
+    v = (-2.5 * np.cos(yy) * np.ones((b, 1, w))).astype(np.float32)
+    ref = np.stack([
+        bicubic_warp(img[i].astype(np.float64), u[i].astype(np.float64),
+                     v[i].astype(np.float64)) for i in range(b)])
+
+    dense = np.asarray(warp_many_shift((img,), u, v, max_disp=4,
+                                       kernel="bicubic")[0])
+    np.testing.assert_allclose(dense, ref, atol=5e-4)
+
+    # tiled variant with larger motion (per-tile base + cubic residual)
+    u2 = (10.0 * np.sin(yy) * np.ones((b, 1, w))).astype(np.float32)
+    v2 = (8.0 * np.cos(xx) * np.ones((b, h, 1))).astype(np.float32)
+    ref2 = np.stack([
+        bicubic_warp(img[i].astype(np.float64), u2[i].astype(np.float64),
+                     v2[i].astype(np.float64)) for i in range(b)])
+    tiled = np.asarray(warp_many_shift_tiled2d(
+        (img,), u2, v2, max_disp=16, local_r=8, tile_h=16, tile_w=32,
+        kernel="bicubic")[0])
+    np.testing.assert_allclose(tiled, ref2, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_tvl1_bicubic_interpolation_recovers_shift(rng):
+    """interpolation='bicubic' (Catmull-Rom warps + cubic flow upsample,
+    the accuracy mode) solves to the same answer class as the default."""
+    img = _texture(rng, 48, 64)
+    shifted = np.asarray(bilinear_warp(img[None], np.full((1, 48, 64), -0.6,
+                                                          np.float32),
+                                       np.full((1, 48, 64), 0.4,
+                                               np.float32)))[0]
+    flow = np.asarray(tvl1_flow_pairs(img[None], shifted[None],
+                                      interpolation="bicubic", **FAST))[0]
+    inner = flow[8:-8, 8:-8]
+    assert abs(np.median(inner[..., 0]) - 0.6) < 0.12
+    assert abs(np.median(inner[..., 1]) + 0.4) < 0.12
+
+
 def test_oracle_recovers_known_shift(rng):
     """The NumPy IPOL oracle itself recovers a known synthetic shift —
     the precondition for using it as the EPE golden reference."""
@@ -201,6 +252,20 @@ def test_jax_solver_matches_oracle_on_echo_sector(rng):
     assert np.percentile(sector, 95) < 0.1, np.percentile(sector, 95)
     assert np.percentile(wall, 99) < 0.15, np.percentile(wall, 99)
     assert wall.max() < 0.3, wall.max()
+
+    # bicubic accuracy mode vs the SAME oracle run: matching the
+    # reference's warp interpolator tightens the in-sector tail ~3x
+    # (measured 240x320: sector p95 0.087 -> 0.029 px) — pin it
+    ours_c = np.asarray(tvl1_flow_pairs(i0[None], i1[None], use_median=True,
+                                        interpolation="bicubic",
+                                        **settings))[0]
+    err_c = epe(ours_c, golden)
+    sector_c = err_c[masks["sector"] & interior]
+    wall_c = err_c[masks["wall"] & interior]
+    assert np.percentile(sector_c, 95) < 0.06, np.percentile(sector_c, 95)
+    assert np.percentile(wall_c, 99) < 0.12, np.percentile(wall_c, 99)
+    # and it must be a strict improvement over bilinear in-sector
+    assert np.percentile(sector_c, 95) <= np.percentile(sector, 95)
 
 
 def test_pallas_inner_block_matches_xla_interpret(rng):
