@@ -27,7 +27,10 @@ lines; emission order:
      saliency, nchunks=2 driven serially like the reference CLI,
      amortized s/clip.
   6. deepflow_frames_per_sec_per_chip_480x640 — BASELINE config 2.
-  7. tvl1_flow_frames_per_sec_per_chip_480x640 — the headline (last
+  7. tvl1_bicubic_frames_per_sec_per_chip_480x640 — context: the solver
+     in its bicubic (Catmull-Rom) accuracy mode, the exact OpenCV/IPOL
+     warp interpolator (EPE_r03.json `tvl1_bicubic` section).
+  8. tvl1_flow_frames_per_sec_per_chip_480x640 — the headline (last
      line): dense TV-L1 at OpenCV-default settings (5 scales @0.8,
      5 warps, 10x30 iteration budget with the epsilon=0.01 per-pair
      early stop OpenCV runs by default — round 3; epsilon=0 fixed-count
@@ -111,18 +114,20 @@ def _write_fixture_dicom(path: str, n: int, h: int, w: int, seed: int = 0):
                      transfer_syntax="rle")
 
 
-def _measure(frames: np.ndarray, reps: int, use_pallas: bool) -> float:
+def _measure(frames: np.ndarray, reps: int, use_pallas: bool,
+             **overrides) -> float:
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
 
+    params = {**SOLVER_PARAMS, **overrides}
     i0 = jnp.asarray(frames[:-1])
     i1 = jnp.asarray(frames[1:])
-    flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **SOLVER_PARAMS)
+    flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **params)
     float(jnp.sum(jnp.abs(flow)))  # compile + warm (forces execution)
     t0 = time.perf_counter()
     for _ in range(reps):
-        flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **SOLVER_PARAMS)
+        flow = tvl1_flow_pairs(i0, i1, use_pallas=use_pallas, **params)
         float(jnp.sum(jnp.abs(flow)))
     return (time.perf_counter() - t0) / reps
 
@@ -368,9 +373,21 @@ def main() -> None:
                  baseline=BASELINE_PROVENANCE +
                  "; OpenCV-CPU DeepFlow not installable here")
 
-    # --- headline (last line): TV-L1 frames/s/chip ---
+    # --- context: TV-L1 in the bicubic accuracy mode (Catmull-Rom warps,
+    # the exact OpenCV/IPOL interpolator; config tvl1_interpolation) ---
     n_frames = 17 if on_tpu else 3
     frames = _make_clip(n_frames, h, w)
+    if on_tpu:
+        dt = _measure(frames, reps=3, use_pallas=True,
+                      interpolation="bicubic")
+        emit("tvl1_bicubic_frames_per_sec_per_chip_480x640",
+             round((n_frames - 1) / dt, 3), "frames/s",
+             baseline=BASELINE_PROVENANCE,
+             note="interpolation='bicubic' accuracy mode (see "
+                  "EPE_r03.json tvl1_bicubic); headline below is the "
+                  "bilinear fast default")
+
+    # --- headline (last line): TV-L1 frames/s/chip ---
     dt = _measure(frames, reps=3 if on_tpu else 1, use_pallas=on_tpu)
     fps = (n_frames - 1) / dt
     emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),

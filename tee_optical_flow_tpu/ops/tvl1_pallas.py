@@ -211,7 +211,8 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
     Semantics: bitwise-equal to `outer_iters` x [median_filter_5x5(u, v)
     if use_median] + tvl1_inner_block_xla(n_iters=inner_iters) — the
     median's edge-replication is reproduced with roll+select clamps and
-    the identical pruned compare-exchange network (warp._median_network).
+    the identical column-sharing compare-exchange networks
+    (warp.SORT5_NETWORK + warp.COLUMN_MEDIAN_25_NETWORK).
 
     With epsilon > 0 the loop carries the IPOL/OpenCV early-stop error in
     SMEM (``err_smem``): every median and inner iteration is predicated on
@@ -220,7 +221,8 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
     of tvl1._tvl1_outer_eps_xla's masked batch (decisions equal up to
     reduction-order ulps in the error sum).
     """
-    from .warp import _median_network
+    from .warp import (
+        COLUMN_MEDIAN_25_NETWORK, COLUMN_MEDIAN_25_TARGET, SORT5_NETWORK)
 
     b = pl.program_id(0)
 
@@ -243,30 +245,32 @@ def _fused_scale_kernel(rho_c_hbm, i1wx_hbm, i1wy_hbm, th_hbm, ig_hbm,
     up1, down1, right1, left1 = clamped_shifts(
         height, width, padded_h, padded_w)
 
-    network, _width = _median_network(25)
-
     def med5(f):
+        # column-sharing median (warp.median_filter_5x5, same networks):
+        # sort the 5 vertical-shift planes once (9 CEs, shared by all 5
+        # horizontal taps), then the 66-CE pruned merge selects rank 12
+        # of the 25 — 75 CEs/pixel vs 153 from scratch, bit-identical
         d1 = down1(f)
-        d2 = down1(d1)
         u1 = up1(f)
-        u2 = up1(u1)
-        taps = []
-        for rowv in (d2, d1, f, u1, u2):
-            l1 = left1(rowv)
-            l2 = left1(l1)
-            r1 = right1(rowv)
-            r2 = right1(r1)
-            taps.extend((l2, l1, rowv, r1, r2))
-        # pruned Batcher network: wires 25..31 are +inf pads; exchanges
-        # touching only pad wires collapse at trace time
-        wires = list(taps) + [None] * 7
-        inf = jnp.full_like(f, jnp.inf)
-        for (i, j) in network:
-            wi = wires[i] if wires[i] is not None else inf
-            wj = wires[j] if wires[j] is not None else inf
-            wires[i] = jnp.minimum(wi, wj)
-            wires[j] = jnp.maximum(wi, wj)
-        return wires[12]
+        planes = [down1(d1), d1, f, u1, up1(u1)]
+        for (i, j) in SORT5_NETWORK:
+            lo = jnp.minimum(planes[i], planes[j])
+            hi = jnp.maximum(planes[i], planes[j])
+            planes[i] = lo
+            planes[j] = hi
+        wires = []
+        for sp in planes:
+            l1 = left1(sp)
+            r1 = right1(sp)
+            wires.append((left1(l1), l1, sp, r1, right1(r1)))
+        # wire c*5+p = sorted position p of window column c
+        wires = [wires[p][c] for c in range(5) for p in range(5)]
+        for (i, j) in COLUMN_MEDIAN_25_NETWORK:
+            lo = jnp.minimum(wires[i], wires[j])
+            hi = jnp.maximum(wires[i], wires[j])
+            wires[i] = lo
+            wires[j] = hi
+        return wires[COLUMN_MEDIAN_25_TARGET]
 
     if epsilon > 0.0:
         err_thresh = jnp.float32(epsilon * epsilon * height * width)

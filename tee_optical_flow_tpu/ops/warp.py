@@ -477,11 +477,69 @@ def median_filter_3x3(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.median(stacked, axis=-1)
 
 
+# Optimal 9-comparator sort-5 network (verified exhaustively over all
+# 2^5 binary inputs — 0/1 principle — in test_tvl1).
+SORT5_NETWORK = ((0, 1), (3, 4), (2, 4), (2, 3), (0, 3),
+                 (0, 2), (1, 4), (1, 3), (1, 2))
+
+# Rank-12 (the median) of 25 values given as 5 PRE-SORTED columns of 5
+# (wire c*5+p = position p, ascending, of column c). 66 compare-exchanges;
+# the answer lands on wire COLUMN_MEDIAN_25_TARGET. Derived by building a
+# balanced Batcher odd-even merge tree over the sorted columns, pruning
+# comparators that never swap on any valid input / don't feed the median
+# wire (to fixpoint), then greedy single-deletion peephole minimization —
+# every step re-verified exhaustively over all 6^5 = 7776 valid
+# sorted-column 0/1 patterns, which by the (restricted) 0/1 principle
+# proves correctness for all real inputs with sorted columns
+# (test_tvl1 re-runs that exhaustive verification). Column sortedness is
+# what the 5x5 median filter gets for free by sorting the 5 vertical-
+# shift PLANES once (9 CEs, shared by all 5 horizontal taps): total
+# 9 + 66 = 75 CEs/pixel vs 153 for the from-scratch pruned network.
+COLUMN_MEDIAN_25_NETWORK = (
+    (0, 5), (4, 9), (4, 5), (2, 7), (2, 4), (7, 5), (1, 6), (3, 8),
+    (3, 6), (1, 2), (3, 4), (6, 7), (8, 5), (10, 15), (14, 19), (14, 15),
+    (12, 17), (12, 14), (17, 15), (11, 16), (13, 18), (13, 16), (11, 12),
+    (13, 14), (16, 17), (18, 15), (0, 10), (5, 15), (5, 10), (4, 14),
+    (4, 5), (14, 10), (2, 12), (7, 17), (7, 12), (7, 5), (12, 14),
+    (1, 11), (9, 19), (9, 11), (6, 16), (6, 9), (16, 11), (3, 13),
+    (8, 18), (8, 13), (8, 9), (13, 16), (8, 5), (9, 12), (13, 14),
+    (10, 20), (5, 10), (14, 24), (14, 10), (15, 22), (12, 15), (12, 14),
+    (11, 21), (9, 11), (16, 11), (19, 23), (13, 19), (8, 13), (13, 16),
+    (13, 14))
+COLUMN_MEDIAN_25_TARGET = 14
+
+
+def median_from_sorted_columns(wires) -> jnp.ndarray:
+    """Median of 25 equal-shaped arrays laid out as 5 sorted columns
+    (wires[c*5 + p], ascending in p) via COLUMN_MEDIAN_25_NETWORK."""
+    wires = list(wires)
+    for (i, j) in COLUMN_MEDIAN_25_NETWORK:
+        lo = jnp.minimum(wires[i], wires[j])
+        hi = jnp.maximum(wires[i], wires[j])
+        wires[i] = lo
+        wires[j] = hi
+    return wires[COLUMN_MEDIAN_25_TARGET]
+
+
 def median_filter_5x5(f: jnp.ndarray) -> jnp.ndarray:
-    """5x5 median (OpenCV DualTVL1 medianFiltering=5 default), via the
-    pruned selection network — ~5x faster than a stacked jnp.median sort
-    on TPU."""
-    p = jnp.pad(f, ((0, 0), (2, 2), (2, 2)), mode="edge")
-    h, w = f.shape[1], f.shape[2]
-    taps = [p[:, dy:dy + h, dx:dx + w] for dy in range(5) for dx in range(5)]
-    return median_of_taps(taps)
+    """5x5 median (OpenCV DualTVL1 medianFiltering=5 default), exact.
+
+    Column-sharing construction: the 5 vertical-shift planes are sorted
+    ONCE with the 9-CE sort-5 network — every pixel's 5 horizontally-
+    neighboring window columns are then shifted reads of those sorted
+    planes — and the median of the 25 is selected by the 66-CE pruned
+    merge network. 75 CEs/pixel vs 153 for the from-scratch pruned
+    selection network (~2x fewer VPU min/max ops; bit-identical output)."""
+    n, h, w = f.shape
+    pv = jnp.pad(f, ((0, 0), (2, 2), (0, 0)), mode="edge")
+    planes = [pv[:, dy:dy + h, :] for dy in range(5)]
+    for (i, j) in SORT5_NETWORK:
+        lo = jnp.minimum(planes[i], planes[j])
+        hi = jnp.maximum(planes[i], planes[j])
+        planes[i] = lo
+        planes[j] = hi
+    padded = [jnp.pad(p, ((0, 0), (0, 0), (2, 2)), mode="edge")
+              for p in planes]
+    wires = [padded[p][:, :, dx:dx + w]
+             for dx in range(5) for p in range(5)]
+    return median_from_sorted_columns(wires)

@@ -492,3 +492,35 @@ def test_median_network_matches_numpy(rng):
     from scipy import ndimage
     ref = np.stack([ndimage.median_filter(f[0], size=5, mode="nearest")])
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_column_median_networks_exhaustive():
+    """Prove the hardcoded column-sharing median networks correct for ALL
+    real inputs via the (restricted) 0/1 principle: SORT5_NETWORK over the
+    2^5 binary inputs, COLUMN_MEDIAN_25_NETWORK over the 6^5 = 7776 valid
+    sorted-column binary patterns (a comparator network failing on some
+    real sorted-column input must fail on its thresholded binary image,
+    which also has sorted columns)."""
+    import itertools
+
+    from tee_optical_flow_tpu.ops.warp import (
+        COLUMN_MEDIAN_25_NETWORK, COLUMN_MEDIAN_25_TARGET, SORT5_NETWORK)
+
+    def run(pairs, X):
+        W = X.copy()
+        for (i, j) in pairs:
+            lo = np.minimum(W[:, i], W[:, j])
+            hi = np.maximum(W[:, i], W[:, j])
+            W[:, i] = lo
+            W[:, j] = hi
+        return W
+
+    X5 = np.array(list(itertools.product([0, 1], repeat=5)), np.int8)
+    assert np.array_equal(run(SORT5_NETWORK, X5), np.sort(X5, axis=1))
+
+    cols = [[0] * (5 - k) + [1] * k for k in range(6)]
+    rows = [sum((cols[c] for c in combo), [])
+            for combo in itertools.product(range(6), repeat=5)]
+    X25 = np.array(rows, np.int8)
+    got = run(COLUMN_MEDIAN_25_NETWORK, X25)[:, COLUMN_MEDIAN_25_TARGET]
+    assert np.array_equal(got, np.sort(X25, axis=1)[:, 12])
