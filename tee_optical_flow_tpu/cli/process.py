@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "knobs and the device policy; CLI flags that "
                              "differ from their parser defaults override "
                              "the file")
+    parser.add_argument("--compilation_cache_dir", type=str, default=None,
+                        help="persistent XLA compilation cache: repeat "
+                             "runs skip the ~67-90 s solver compiles "
+                             "(DeviceConfig.compilation_cache_dir)")
     return parser
 
 
@@ -130,6 +134,14 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     pipeline_cfg = _apply_pipeline_config(args, parser)
+
+    cache_dir = args.compilation_cache_dir
+    if cache_dir is None and pipeline_cfg is not None:
+        cache_dir = pipeline_cfg.device.compilation_cache_dir
+    if cache_dir:
+        from ..core import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
 
     from ..flow.pipeline import process_folder
 

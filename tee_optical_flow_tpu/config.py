@@ -282,6 +282,11 @@ class DeviceConfig(_JsonMixin):
     # (core.py documents the policy)
     frame_bucket: int = 8            # pad clip length to a multiple of this
     spatial_bucket: int = 32         # pad H/W to a multiple of this
+    # persistent XLA compilation cache directory: compiled solver
+    # executables survive process restarts, so repeat CLI runs skip the
+    # ~67-90 s per-bucket compiles (core.enable_compilation_cache);
+    # None = in-process jit cache only
+    compilation_cache_dir: Optional[str] = None
 
 
 @dataclass

@@ -35,6 +35,7 @@ Policy (config knobs on ``OpticalFlowCalculationConfig``):
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -42,9 +43,38 @@ import numpy as np
 from .utils.helpers import pad_to_multiple
 
 __all__ = [
-    "bucketed_frame_count", "bucketed_spatial", "pad_clip_frames",
-    "pad_spatial_edge", "pad_to_multiple",
+    "bucketed_frame_count", "bucketed_spatial", "enable_compilation_cache",
+    "pad_clip_frames", "pad_spatial_edge", "pad_to_multiple",
 ]
+
+
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_time_secs: float = 1.0) -> bool:
+    """Persist compiled XLA executables under ``cache_dir`` so every CLI
+    process after the first skips the big compiles (~67-90 s for the
+    fused TV-L1 solver per shape bucket, NOTES.md). Bucketing (this
+    module) bounds recompiles *within* a process; the persistent cache
+    removes them *across* processes — together a production cohort pays
+    each solver compile once per machine, not once per run.
+
+    Wired from ``DeviceConfig.compilation_cache_dir`` (cli/process
+    --compilation_cache_dir / --config). Returns False (with a warning)
+    if the backend rejects the cache instead of failing the run.
+    """
+    import logging
+
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_time_secs)
+        return True
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        logging.getLogger(__name__).warning(
+            "persistent compilation cache disabled (%r)", exc)
+        return False
 
 
 def bucketed_frame_count(n: int, frame_bucket: int) -> int:

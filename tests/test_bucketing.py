@@ -120,3 +120,27 @@ def test_process_video_bucketing_end_to_end(rng, tmp_path):
         assert diff.max() < 0.1, diff.max()
         np.testing.assert_array_equal(fb["otsu"][...], fu["otsu"][...])
         np.testing.assert_allclose(fb["echo"][...], fu["echo"][...])
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """enable_compilation_cache points XLA's persistent cache at a
+    directory: a fresh compile lands an entry there (cross-process reuse
+    is XLA's contract; here we assert the wiring writes through)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tee_optical_flow_tpu.core import enable_compilation_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    assert enable_compilation_cache(cache_dir, min_compile_time_secs=0.0)
+    try:
+        @jax.jit
+        def probe(x):
+            return jnp.sin(x) * 41.5  # unique constant -> unique cache key
+
+        probe(jnp.ones((8, 8))).block_until_ready()
+        entries = os.listdir(cache_dir)
+        assert entries, "no persistent cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
