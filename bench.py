@@ -27,15 +27,19 @@ lines; emission order:
      saliency, nchunks=2 driven serially like the reference CLI,
      amortized s/clip.
   6. deepflow_frames_per_sec_per_chip_480x640 — BASELINE config 2.
-  7. tvl1_bicubic_frames_per_sec_per_chip_480x640 — context: the solver
-     in its bicubic (Catmull-Rom) accuracy mode, the exact OpenCV/IPOL
-     warp interpolator (EPE_r03.json `tvl1_bicubic` section).
+  7. tvl1_bilinear_frames_per_sec_per_chip_480x640 — context: the solver
+     in its bilinear fast mode (gather-free hat shift-warps; the round-2
+     headline protocol's interpolator).
   8. tvl1_flow_frames_per_sec_per_chip_480x640 — the headline (last
-     line): dense TV-L1 at OpenCV-default settings (5 scales @0.8,
-     5 warps, 10x30 iteration budget with the epsilon=0.01 per-pair
-     early stop OpenCV runs by default — round 3; epsilon=0 fixed-count
-     numbers are the round-2 baseline, lambda .15, 5x5 median), all
-     pairs batched, Pallas fused inner loop.
+     line): dense TV-L1 at the production defaults, which since round 3
+     match OpenCV's DualTVL1 exactly: 5 scales @0.8, 5 warps, 10x30
+     iteration budget with the epsilon=0.01 per-pair early stop OpenCV
+     runs by default, lambda .15, 5x5 median, and bicubic (Catmull-Rom)
+     warps — OpenCV/IPOL's own interpolator (EPE_r03.json tvl1_bicubic:
+     every masked EPE target met). All pairs batched, Pallas fused inner
+     loop. Round-2 comparable numbers (epsilon=0, bilinear) are the
+     BENCH_r02 records; the eps=0 fixed-count protocol is re-measured in
+     EPE/parity CI instead.
 
 ``vs_baseline`` provenance (honest label): it divides by THIS solver
 compiled via XLA on one CPU core of this host — 0.0983 frames/s at the
@@ -61,12 +65,17 @@ import time
 import numpy as np
 
 # XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring;
-# round 3: includes the epsilon=0.01 early stop on BOTH sides — the eps=0
-# fixed-count baseline was 0.0564)
-RECORDED_CPU_BASELINE_FPS = 0.0983
+# round 3: includes the epsilon=0.01 early stop AND bicubic warps on BOTH
+# sides — the eps=0 bilinear fixed-count baseline was 0.0564, the
+# eps=0.01 bilinear baseline 0.0983). Max of two clean --measure-cpu runs
+# (0.0779 / 0.0943 — the 1-core host adds ~20% run-to-run noise);
+# the max is the conservative choice for the speedup claim.
+RECORDED_CPU_BASELINE_FPS = 0.0943
 # same provenance for the DeepFlow backend (this solver, XLA, 1 CPU core,
-# default settings, 480x640; re-measure with --measure-cpu)
-RECORDED_CPU_DEEPFLOW_FPS = 0.315
+# default settings, 480x640; re-measure with --measure-cpu). Max of two
+# clean end-of-round-3 runs (0.257 / 0.270) after the shared-warp and
+# median reworks; the pre-rework record was 0.315.
+RECORDED_CPU_DEEPFLOW_FPS = 0.2701
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
 NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
@@ -74,7 +83,8 @@ NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
 
 SOLVER_PARAMS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
                      warps=5, outer_iters=10, inner_iters=30,
-                     use_median=True, max_disp=16, epsilon=0.01)
+                     use_median=True, max_disp=16, epsilon=0.01,
+                     interpolation="bicubic")
 
 WAVEFORM_FIXTURES = "/root/reference/test_data/waveforms"
 
@@ -373,19 +383,19 @@ def main() -> None:
                  baseline=BASELINE_PROVENANCE +
                  "; OpenCV-CPU DeepFlow not installable here")
 
-    # --- context: TV-L1 in the bicubic accuracy mode (Catmull-Rom warps,
-    # the exact OpenCV/IPOL interpolator; config tvl1_interpolation) ---
+    # --- context: TV-L1 in the bilinear fast mode (gather-free hat
+    # shift-warps; the round-2 headline protocol's interpolator) ---
     n_frames = 17 if on_tpu else 3
     frames = _make_clip(n_frames, h, w)
     if on_tpu:
         dt = _measure(frames, reps=3, use_pallas=True,
-                      interpolation="bicubic")
-        emit("tvl1_bicubic_frames_per_sec_per_chip_480x640",
+                      interpolation="bilinear")
+        emit("tvl1_bilinear_frames_per_sec_per_chip_480x640",
              round((n_frames - 1) / dt, 3), "frames/s",
              baseline=BASELINE_PROVENANCE,
-             note="interpolation='bicubic' accuracy mode (see "
-                  "EPE_r03.json tvl1_bicubic); headline below is the "
-                  "bilinear fast default")
+             note="interpolation='bilinear' fast mode; the headline "
+                  "below is the production default (bicubic — OpenCV's "
+                  "own interpolator, every masked EPE target met)")
 
     # --- headline (last line): TV-L1 frames/s/chip ---
     dt = _measure(frames, reps=3 if on_tpu else 1, use_pallas=on_tpu)
@@ -393,11 +403,12 @@ def main() -> None:
     emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),
          "frames/s", vs_baseline=round(fps / RECORDED_CPU_BASELINE_FPS, 1),
          baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None,
-         note="OpenCV-default settings incl. the epsilon=0.01 per-pair "
-              "early stop (round 3; CPU baseline re-measured with it). "
+         note="production defaults = OpenCV DualTVL1 defaults exactly: "
+              "epsilon=0.01 per-pair early stop + bicubic (Catmull-Rom) "
+              "warps (round 3; CPU baseline re-measured with both). "
               "Like OpenCV's, throughput is convergence- and therefore "
-              "content-dependent; epsilon=0 fixed-count numbers are the "
-              "round-2 records")
+              "content-dependent; epsilon=0 bilinear fixed-count numbers "
+              "are the round-2 records")
 
 
 if __name__ == "__main__":

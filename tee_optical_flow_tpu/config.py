@@ -223,11 +223,14 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     tvl1_median_filtering: bool = True
     tvl1_max_displacement: int = 16
     tvl1_use_pallas: bool = True
-    # warp + inter-level flow interpolation: "bilinear" (fast default) or
-    # "bicubic" (Catmull-Rom — the IPOL/OpenCV reference's interpolator;
-    # ~25% more warp FMAs, tightens solver-vs-oracle EPE in low-gradient
-    # regions — see EPE report / ops/warp._catmull_rom_weight)
-    tvl1_interpolation: str = "bilinear"
+    # warp + inter-level flow interpolation: "bicubic" (Catmull-Rom — the
+    # IPOL/OpenCV reference's OWN interpolator; production default since
+    # round 3: meets every masked EPE target at 480x640 — worst interior
+    # median 0.029 px, sector-masked p95 0.063 px, EPE_r03.json
+    # tvl1_bicubic — for ~13% solver time over bilinear) or "bilinear"
+    # (gather-free hat shift-warps, the fast mode; the low-level
+    # ops/tvl1.tvl1_flow_pairs default)
+    tvl1_interpolation: str = "bicubic"
     # DeepFlow-style variational refinement
     # smoothness weight, calibrated for [0, 255] intensities: alpha 1
     # under-smooths (7-18% of pixels ran away on weakly textured frames,
