@@ -42,14 +42,14 @@ lines; emission order:
      EPE/parity CI instead.
 
 ``vs_baseline`` provenance (honest label): it divides by THIS solver
-compiled via XLA on one CPU core of this host — 0.0983 frames/s at the
-same settings incl. the epsilon=0.01 early stop (re-measure with
-``python bench.py --measure-cpu``). OpenCV-CPU DualTVL1
+compiled via XLA on one CPU core of this host — 0.0943 frames/s at the
+same settings incl. the epsilon=0.01 early stop and bicubic warps
+(re-measure with ``python bench.py --measure-cpu``). OpenCV-CPU DualTVL1
 itself is NOT installable here (cv2 5.0.0 without contrib, no package
 installs), so the named BASELINE.md row-2 baseline is unmeasured
 (``opencv_cpu_fps: null``); single-threaded OpenCV DualTVL1 at VGA is
-~0.5-2 s/frame in the literature, so dividing by 0.0564 is the same
-algorithm-and-settings class and conservative. Accuracy against the
+~0.5-2 s/frame in the literature, so dividing by this solver's own
+1-core run is the same algorithm-and-settings class and conservative. Accuracy against the
 reference algorithms is covered separately by EPE_r03.json
 (epe_report.py: IPOL TV-L1 + Brox/DeepFlow float64 oracles).
 """
@@ -288,7 +288,7 @@ def main() -> None:
         emit("dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"
              if on_tpu else "dicom_to_hdf5_clip_seconds_cpu_smoke",
              round(dt, 2), "s/clip", baseline=NO_REF_BASELINE + "; its CPU "
-             "flow alone would be ~330 s/clip at the recorded 0.0983 "
+             "flow alone would be ~340 s/clip at the recorded 0.0943 "
              "frames/s",
              note=f"real RLE DICOM file path (decode leg included); "
                   f"frame-bucketed {n_clip}->"
