@@ -150,7 +150,8 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
             max_disp=config.tvl1_max_displacement,
             use_pallas=config.tvl1_use_pallas,
             epsilon=config.tvl1_epsilon,
-            gamma=config.tvl1_gamma)
+            gamma=config.tvl1_gamma,
+            interpolation=config.tvl1_interpolation)
     else:
         from ..ops.deepflow import deepflow_pairs
 
