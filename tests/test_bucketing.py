@@ -45,9 +45,12 @@ def test_policy_shapes():
     np.testing.assert_array_equal(padded[4], clip[-1])
 
 
+@pytest.mark.slow
 def test_one_compile_per_spatial_bucket(rng):
     """Three distinct (H, W) clip shapes inside one 32-px bucket compile
-    the solver exactly once (the jit cache is the compile counter)."""
+    the solver exactly once (the jit cache is the compile counter).
+    (Slow tier — a compile-cache infra property; the fast tier keeps
+    test_policy_shapes for the padding policy itself.)"""
     from tee_optical_flow_tpu.flow.pipeline import compute_clip_flow
     from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
 

@@ -225,6 +225,7 @@ def test_pipeline_otsu_validation(tmp_path, rng):
                       bkgd_comp="WASE")
 
 
+@pytest.mark.slow
 def test_process_cli_config_file(tmp_path, rng):
     """cli/process --config: a PipelineConfig JSON drives the run (mode /
     of_algo / solver knobs / device policy) and invalid bundles fail

@@ -152,8 +152,8 @@ def test_clip_segmentor_tail_invariance(vit_t):
 def test_clip_segmentor_device_path_matches_host(vit_t):
     """labels_device (device-resident clip, no label download until the
     test materializes it) must reproduce the host segment() path, for
-    both RGB and single-channel grayscale uploads. (Slow tier: the fast
-    out_hw test below also asserts host==device equality.)"""
+    both RGB and single-channel grayscale uploads. (Slow tier, like the
+    out_hw host==device test below.)"""
     model, variables = vit_t
     seg = make_clip_segmentor(model, variables, micro_batch=2)
     rng = np.random.default_rng(3)
@@ -169,6 +169,7 @@ def test_clip_segmentor_device_path_matches_host(vit_t):
     np.testing.assert_array_equal(host_g, dev_g)
 
 
+@pytest.mark.slow
 def test_clip_segmentor_out_hw_honored_on_device_path(vit_t):
     """A constructor-level out_hw must win over the clip's own dims on
     BOTH paths (the device path once silently ignored it)."""

@@ -337,10 +337,13 @@ def test_pallas_fused_outer_loop_matches_xla_interpret(rng):
                                        err_msg=f"{name} median={use_median}")
 
 
+@pytest.mark.slow
 def test_epsilon_early_stop_semantics(rng):
     """IPOL/OpenCV epsilon early stop (tvl1._tvl1_outer_eps_xla): error
     starts at +inf so exactly one inner iteration always runs — a huge
-    epsilon is therefore bitwise-equal to fixed outer=1, inner=1."""
+    epsilon is therefore bitwise-equal to fixed outer=1, inner=1.
+    (Slow tier; the fast tier keeps the fused-epsilon interpret parity
+    test, which pins the epsilon path's lowering.)"""
     img = _texture(rng, 40, 48)
     i1 = ndimage.shift(img, (1.0, -1.0), order=3, mode="nearest")
     kw = dict(nscales=1, warps=2, outer_iters=3, inner_iters=8,
