@@ -14,7 +14,7 @@ lines; emission order:
      round 3 this drives the REAL file path (decode included), not an
      in-memory override.
   3. sam_tvl1_clip_seconds_steady_state_33f_480x640 — BASELINE config 3:
-     SAM vit_t (bf16, micro-batch 16, random-init weights — the cost is
+     SAM vit_t (bf16, micro-batch 4, random-init weights — the cost is
      architecture-bound) RVIO_2class segmentation at 1024^2 + TV-L1
      masked flow, same e2e path.
   4. gated_radlong_analysis_seconds_per_clip — BASELINE config 4: one
@@ -304,14 +304,14 @@ def main() -> None:
 
             model, variables = sam_model_registry["vit_t"](
                 num_classes=3, dtype=jnp.bfloat16)
-            segmentor = make_clip_segmentor(model, variables, micro_batch=16)
+            segmentor = make_clip_segmentor(model, variables, micro_batch=4)
             dt = _steady_state_clip_seconds(
                 dcm_path, tmp, "sam", reps, segmentor_model=segmentor,
                 mode="RVIO_2class", no_saliency=True, OF_algo="TVL1",
                 include_waveforms=False, config=cfg)
             emit("sam_tvl1_clip_seconds_steady_state_33f_480x640",
                  round(dt, 2), "s/clip", baseline=NO_REF_BASELINE,
-                 note="vit_t bf16 micro-batch 16 at 1024^2, random-init "
+                 note="vit_t bf16 micro-batch 4 at 1024^2, random-init "
                       "weights (architecture-bound cost), RVIO_2class "
                       "masks + full-settings TV-L1")
 

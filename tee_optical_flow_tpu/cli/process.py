@@ -122,9 +122,13 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t",
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(data_axis=data_axis, model_axis=1)
-    # micro_batch 16: at 1024^2 on v5e the segmentor measured 25.4 fps at
-    # (f32, mb=4) and 32.4 fps at (bf16, mb=16) with the one-DMA clip path
-    return make_clip_segmentor(model, variables, micro_batch=16, mesh=mesh)
+    # micro_batch 4: at 1024^2 bf16 on v5e the device-resident segmentor
+    # measured 7.6-8.0 ms/frame at mb 2-4 vs 10.2 at mb 16 (the early
+    # conv stages' (B,1024^2,C) activations stop fitting on-chip as B
+    # grows), and small chunks also pad short clips less; a sharded
+    # segmentor needs mb divisible by the mesh data axis, so round up
+    mb = 4 if mesh is None else -(-4 // data_axis) * data_axis
+    return make_clip_segmentor(model, variables, micro_batch=mb, mesh=mesh)
 
 
 def main(argv=None) -> int:
