@@ -102,8 +102,10 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t",
     orbax_ckpt = os.path.join(checkpoint_dir, "checkpoint_best")
     # bf16 compute for inference by default (labels come from an argmax,
     # robust to the precision drop; 99.7% label agreement vs f32 measured
-    # on v5e) — DeviceConfig.model_dtype overrides
-    dtype = jnp.bfloat16 if model_dtype == "bfloat16" else jnp.float32
+    # on v5e) — DeviceConfig.model_dtype overrides; "int8" keeps bf16
+    # compute and stores kernels weight-only-quantized (models/quantize.py)
+    weights_int8 = model_dtype == "int8"
+    dtype = jnp.float32 if model_dtype == "float32" else jnp.bfloat16
     if os.path.exists(torch_ckpt):
         model, variables = sam_model_registry[arch](
             num_classes=num_cls, checkpoint=torch_ckpt, dtype=dtype)
@@ -128,7 +130,8 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t",
     # grows), and small chunks also pad short clips less; a sharded
     # segmentor needs mb divisible by the mesh data axis, so round up
     mb = 4 if mesh is None else -(-4 // data_axis) * data_axis
-    return make_clip_segmentor(model, variables, micro_batch=mb, mesh=mesh)
+    return make_clip_segmentor(model, variables, micro_batch=mb, mesh=mesh,
+                               weights_int8=weights_int8)
 
 
 def main(argv=None) -> int:

@@ -278,6 +278,7 @@ class DeviceConfig(_JsonMixin):
     # dtype policy: compute_dtype is the flow solver precision (float32 is
     # the only supported value — validated), model_dtype the SAM inference
     # precision (cli/process.load_segmentor)
+    # ("int8" = weight-only quantized kernels with bfloat16 compute)
     compute_dtype: str = "float32"
     model_dtype: str = "bfloat16"
     # clip-shape bucketing for generic device programs; the flow pipeline
@@ -427,6 +428,8 @@ def validate_pipeline_config(cfg: PipelineConfig) -> None:
         raise ConfigurationError(
             "device.compute_dtype: only float32 is supported for the "
             "variational flow solvers")
-    if cfg.device.model_dtype not in ("float32", "bfloat16"):
+    if cfg.device.model_dtype not in ("float32", "bfloat16", "int8"):
         raise ConfigurationError(
-            "device.model_dtype must be 'float32' or 'bfloat16'")
+            "device.model_dtype must be 'float32', 'bfloat16', or 'int8' "
+            "(int8 = weight-only quantized kernels, bfloat16 compute; "
+            "models/quantize.py)")

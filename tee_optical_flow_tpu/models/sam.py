@@ -76,7 +76,8 @@ def preprocess_frames(frames: jnp.ndarray, image_size: int = 1024) -> jnp.ndarra
 
 def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, int]] = None,
                         micro_batch: int = 4,
-                        mesh=None) -> Callable[[np.ndarray], np.ndarray]:
+                        mesh=None,
+                        weights_int8: bool = False) -> Callable[[np.ndarray], np.ndarray]:
     """Build a callable (N, H, W, 3) uint8 -> (N, H, W) uint8 labels.
 
     Frames are processed in fixed-size micro-batches under one jit (padding
@@ -84,6 +85,13 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
     program; the argmax'd 256x256 prediction is NEAREST-resized to the
     original frame size, matching the reference's PIL resample
     (calculate_optical_flow.py:85-87).
+
+    ``weights_int8`` stores every matmul/conv kernel as symmetric
+    per-channel int8 (models/quantize.py) and dequantizes to the model's
+    compute dtype inside the jitted program — kernels live in HBM (and
+    cross the host->device link) at half the bf16 byte count; compute is
+    unchanged. The reference has no quantized path; this is a
+    TPU-serving knob.
 
     With ``mesh`` the segmentor runs frame-axis data-parallel over the
     mesh's 'data' axis: parameters replicate once, each micro-batch
@@ -94,6 +102,18 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
     *layers* to devices; sharding the embarrassingly-parallel frame axis
     is the mapping that actually scales on a TPU pod slice.
     """
+    if weights_int8:
+        from .quantize import dequantize_variables, quantize_variables_int8
+
+        variables = quantize_variables_int8(variables)
+
+        def _model_vars():
+            return dequantize_variables(variables, model.dtype)
+    else:
+
+        def _model_vars():
+            return variables
+
     if mesh is not None:
         from ..exceptions import ShardingError
         from ..parallel.mesh import batch_sharding, replicated_sharding
@@ -112,7 +132,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
     @functools.partial(jax.jit, static_argnames=())
     def run_batch(batch_u8):
         x = preprocess_frames(batch_u8, model.image_size)
-        logits, _ = model.apply(variables, x, multimask_output=True)
+        logits, _ = model.apply(_model_vars(), x, multimask_output=True)
         return jnp.argmax(logits, axis=1).astype(jnp.uint8)  # (B, 256, 256)
 
     @functools.partial(jax.jit, static_argnames=())
@@ -123,7 +143,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
         x = batch_u8_gray.astype(jnp.float32) / 255.0
         x = jax.image.resize(x, (x.shape[0], s, s), method="bilinear")
         x = (x[..., None] - IMAGENET_MEAN) / IMAGENET_STD
-        logits, _ = model.apply(variables, x, multimask_output=True)
+        logits, _ = model.apply(_model_vars(), x, multimask_output=True)
         return jnp.argmax(logits, axis=1).astype(jnp.uint8)
 
     def _batch_starts(n: int):

@@ -87,6 +87,70 @@ def test_vitdet_encoder_shape():
     assert out.shape == (1, 4, 4, 256)
 
 
+def test_quantize_int8_round_trip(vit_t):
+    from tee_optical_flow_tpu.models.quantize import (
+        QuantizedArray, dequantize_variables, quantization_error,
+        quantize_variables_int8)
+
+    _, variables = vit_t
+    qvars = quantize_variables_int8(variables)
+    leaves = jax.tree.leaves(qvars, is_leaf=lambda x: isinstance(x, QuantizedArray))
+    n_quant = sum(isinstance(l, QuantizedArray) for l in leaves)
+    assert n_quant > 50  # every Dense/Conv kernel in the zoo
+    # symmetric int8 round-trip error is bounded by half a step per
+    # channel-amax (0.5/127); quantization_error normalizes by the
+    # global amax so per-channel scaling can only shrink it
+    assert quantization_error(variables) <= 0.5 / 127 + 1e-6
+    deq = dequantize_variables(qvars, jnp.float32)
+    # structure restored exactly; non-kernel leaves untouched
+    orig_leaves = jax.tree.leaves(variables)
+    deq_leaves = jax.tree.leaves(deq)
+    assert len(orig_leaves) == len(deq_leaves)
+    for o, d in zip(orig_leaves, deq_leaves):
+        assert o.shape == d.shape
+    # non-kernel leaves (biases, norm scales, embeddings) pass bitwise
+    opaths = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    dpaths = dict(jax.tree_util.tree_flatten_with_path(deq)[0])
+    checked = 0
+    for path, o in opaths.items():
+        if "kernel" not in str(path):
+            np.testing.assert_array_equal(np.asarray(o),
+                                          np.asarray(dpaths[path]))
+            checked += 1
+    assert checked > 50
+
+
+@pytest.mark.slow
+def test_clip_segmentor_int8_close_to_full_precision(vit_t):
+    """Weight-only int8 logits track full-precision logits closely (the
+    production consumer is an argmax over classes, which is far more
+    tolerant than this bound)."""
+    from tee_optical_flow_tpu.models.quantize import (
+        dequantize_variables, quantize_variables_int8)
+
+    model, variables = vit_t
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, IMG, IMG, 3)),
+                    jnp.float32)
+    ref, _ = model.apply(variables, x, multimask_output=True)
+    qvars = quantize_variables_int8(variables)
+    got, _ = model.apply(dequantize_variables(qvars, jnp.float32), x,
+                         multimask_output=True)
+    ref = np.asarray(ref)
+    err = np.abs(np.asarray(got) - ref)
+    assert err.max() <= 0.15 * (np.abs(ref).max() + 1e-6)
+
+
+def test_clip_segmentor_int8_end_to_end(vit_t):
+    model, variables = vit_t
+    seg = make_clip_segmentor(model, variables, micro_batch=2,
+                              weights_int8=True)
+    clip = (np.random.default_rng(1).uniform(size=(3, 40, 40, 3)) * 255).astype(np.uint8)
+    labels = seg(clip)
+    assert labels.shape == (3, 40, 40)
+    assert labels.dtype == np.uint8
+    assert labels.max() <= 2
+
+
 def test_adapter_stages_add_params():
     # eval_shape: the param-count assertion needs structure, not values
     enc_plain = TinyViT(img_size=IMG)
