@@ -104,6 +104,15 @@ def load_segmentor(checkpoint_dir: str, arch: str = "vit_t",
     # robust to the precision drop; 99.7% label agreement vs f32 measured
     # on v5e) — DeviceConfig.model_dtype overrides; "int8" keeps bf16
     # compute and stores kernels weight-only-quantized (models/quantize.py)
+    if model_dtype not in ("float32", "bfloat16", "int8"):
+        # load_segmentor is callable directly (bypassing
+        # validate_pipeline_config), so a typo like 'int4' must not
+        # silently run bf16 unquantized
+        from ..exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            f"model_dtype must be one of float32/bfloat16/int8, "
+            f"got {model_dtype!r}")
     weights_int8 = model_dtype == "int8"
     dtype = jnp.float32 if model_dtype == "float32" else jnp.bfloat16
     if os.path.exists(torch_ckpt):

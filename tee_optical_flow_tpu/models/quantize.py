@@ -49,8 +49,13 @@ def _quantize_leaf(x) -> QuantizedArray:
 
 
 def _is_quantizable(name: str, value) -> bool:
-    return (name == "kernel" and hasattr(value, "ndim") and value.ndim >= 2
-            and jnp.issubdtype(jnp.asarray(value).dtype, jnp.floating))
+    # dtype is read host-side (np, not jnp.asarray) — device_putting every
+    # kernel just to inspect its dtype would upload the full weight set
+    dtype = getattr(value, "dtype", None)
+    if dtype is None:
+        dtype = np.asarray(value).dtype
+    return (name == "kernel" and np.ndim(value) >= 2
+            and np.issubdtype(dtype, np.floating))
 
 
 def quantize_variables_int8(variables: Any) -> Any:
@@ -76,7 +81,10 @@ def dequantize_variables(variables: Any, dtype=jnp.bfloat16) -> Any:
 
     def rec(node):
         if isinstance(node, QuantizedArray):
-            return node.q.astype(dtype) * node.scale.astype(dtype)
+            # multiply by the f32 scale BEFORE the dtype cast: scaling in
+            # bf16 would add a second rounding (up to ~0.4% on the scale)
+            # on top of the int8 rounding; XLA still fuses the chain
+            return (node.q.astype(jnp.float32) * node.scale).astype(dtype)
         if isinstance(node, dict):
             return {k: rec(v) for k, v in node.items()}
         return node

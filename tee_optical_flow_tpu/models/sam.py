@@ -107,12 +107,12 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
 
         variables = quantize_variables_int8(variables)
 
-        def _model_vars():
-            return dequantize_variables(variables, model.dtype)
+        def _model_vars(v):
+            return dequantize_variables(v, model.dtype)
     else:
 
-        def _model_vars():
-            return variables
+        def _model_vars(v):
+            return v
 
     if mesh is not None:
         from ..exceptions import ShardingError
@@ -128,22 +128,28 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
             return jax.device_put(chunk, batch_sharding(mesh, np.ndim(chunk)))
     else:
         _place = jax.device_put
+        # commit the (possibly int8-quantized) tree to device once; passed
+        # as a jit ARGUMENT below — not a closure constant — so XLA cannot
+        # constant-fold the dequantize into embedded bf16 weight constants
+        # (which would silently negate the int8 HBM-residency savings and
+        # duplicate the weights per compiled program)
+        variables = jax.device_put(variables)
 
     @functools.partial(jax.jit, static_argnames=())
-    def run_batch(batch_u8):
+    def run_batch(v, batch_u8):
         x = preprocess_frames(batch_u8, model.image_size)
-        logits, _ = model.apply(_model_vars(), x, multimask_output=True)
+        logits, _ = model.apply(_model_vars(v), x, multimask_output=True)
         return jnp.argmax(logits, axis=1).astype(jnp.uint8)  # (B, 256, 256)
 
     @functools.partial(jax.jit, static_argnames=())
-    def run_batch_gray(batch_u8_gray):
+    def run_batch_gray(v, batch_u8_gray):
         # (B, H, W) uint8 single channel: resize before the channel
         # broadcast (1/3 the resize work; echo clips are RGB-coded gray)
         s = model.image_size
         x = batch_u8_gray.astype(jnp.float32) / 255.0
         x = jax.image.resize(x, (x.shape[0], s, s), method="bilinear")
         x = (x[..., None] - IMAGENET_MEAN) / IMAGENET_STD
-        logits, _ = model.apply(_model_vars(), x, multimask_output=True)
+        logits, _ = model.apply(_model_vars(v), x, multimask_output=True)
         return jnp.argmax(logits, axis=1).astype(jnp.uint8)
 
     def _batch_starts(n: int):
@@ -189,7 +195,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                 reps = micro_batch - chunk.shape[0]
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], reps, 0)], 0)
-            outs.append(run(_place(chunk)))
+            outs.append(run(variables, _place(chunk)))
         pred = _stitch(outs, n, jnp)
         th, tw = out_hw or clip_hw
         yi, xi = _nearest_idx(pred.shape[1:3], th, tw)
@@ -212,7 +218,7 @@ def make_clip_segmentor(model: Sam, variables: Any, out_hw: Optional[Tuple[int, 
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], reps, 0)], 0)
             chunks.append(_place(chunk))
-        outs = [run_batch(c) for c in chunks]
+        outs = [run_batch(variables, c) for c in chunks]
         pred = _stitch([np.asarray(o) for o in outs], n, np)
         # NEAREST upsample back to the clip resolution
         yi, xi = _nearest_idx(pred.shape[1:3], th, tw)
