@@ -2,7 +2,14 @@
 the LAST line is the driver's headline metric.
 
 Covers all five BASELINE.md configs (BASELINE.json:6-12) plus context
-lines; emission order:
+lines. Round 4: a host<->device link-bandwidth line is emitted first and
+``link_MBps`` rides every e2e metric (the e2e numbers scale with tunnel
+state); e2e lines report best-of-N with the mean/worst spread; package
+logging is silenced below CRITICAL during the run (the expected
+synthetic-data peak warnings truncated BENCH_r03's tail); and one compact
+``bench_summary_all_configs`` line carrying every metric is emitted
+immediately before the headline so no config can fall out of the driver's
+tail buffer. Emission order:
 
   1. dicom_decode_seconds — the from-scratch parser + native RLE decode
      on a synthesized 33f 480x640 RLE DICOM (io/dicom_write.py): the
@@ -57,12 +64,18 @@ reference algorithms is covered separately by EPE_r03.json
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+# every metric emitted this run, for the compact pre-headline summary line
+# (VERDICT r3: configs 1/3 + the decode leg were truncated out of the
+# driver's tail buffer by warning spam + verbose notes)
+_SUMMARY: dict = {}
 
 # XLA-CPU, this host, 1 core, full OpenCV-default settings (see docstring;
 # round 3: includes the epsilon=0.01 early stop AND bicubic warps on BOTH
@@ -72,10 +85,10 @@ import numpy as np
 # the max is the conservative choice for the speedup claim.
 RECORDED_CPU_BASELINE_FPS = 0.0943
 # same provenance for the DeepFlow backend (this solver, XLA, 1 CPU core,
-# default settings, 480x640; re-measure with --measure-cpu). Max of two
-# clean end-of-round-3 runs (0.257 / 0.270) after the shared-warp and
-# median reworks; the pre-rework record was 0.315.
-RECORDED_CPU_DEEPFLOW_FPS = 0.2701
+# round-4 production settings incl. edge-averaged diffusivities + bicubic
+# warps, 480x640; re-measure with --measure-cpu). One clean round-4 run;
+# the round-3 bilinear/central-weight records were 0.257/0.270.
+RECORDED_CPU_DEEPFLOW_FPS = 0.225
 BASELINE_PROVENANCE = ("this solver, XLA on 1 host CPU core "
                        "(OpenCV-CPU DualTVL1 not installable here)")
 NO_REF_BASELINE = ("reference unmeasurable here (needs cv2.optflow/CUDA "
@@ -90,8 +103,30 @@ WAVEFORM_FIXTURES = "/root/reference/test_data/waveforms"
 
 
 def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
+    _SUMMARY[metric] = value
     print(json.dumps({"metric": metric, "value": value, "unit": unit,
                       "vs_baseline": vs_baseline, **extra}), flush=True)
+
+
+def _link_MBps(reps: int = 3) -> float:
+    """Host<->device link bandwidth via a fixed 32 MB f32 round trip
+    (best of ``reps``). The e2e s/clip metrics move 1.6-4.5x with tunnel
+    state (NOTES round-3 entry); emitting the measured link speed beside
+    each e2e line makes the numbers comparable across sessions."""
+    import jax
+
+    mb = 32.0
+    host = np.ones((int(mb * 1024 * 1024 // 4),), np.float32)
+    dev = jax.device_put(host)  # warm allocator/route
+    np.asarray(dev)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        dev = (dev + 1.0).block_until_ready()
+        np.asarray(dev)  # D2H
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * mb / best, 1)  # MB moved each way per round trip
 
 
 def _make_clip(n: int, h: int, w: int) -> np.ndarray:
@@ -143,12 +178,13 @@ def _measure(frames: np.ndarray, reps: int, use_pallas: bool,
 
 
 def _steady_state_clip_seconds(dcm_path: str, tmp: str, tag: str, reps: int,
-                               **pv_kwargs) -> float:
+                               **pv_kwargs) -> tuple:
     """Steady-state inter-clip interval of the production path: with the
     one-deep write-behind, a long cohort run costs max(compute, write)
     per clip (submit blocks on write backpressure); the final drain
     amortizes away. reps+1 clips give `reps` intervals; a warm-up clip
-    first excludes compiles."""
+    first excludes compiles. Returns (best, mean, worst) of the
+    per-clip intervals — the spread tracks tunnel-state variance."""
     from tee_optical_flow_tpu.flow.pipeline import AsyncHDF5Writer, process_video
 
     def run(i: int, writer) -> None:
@@ -166,7 +202,8 @@ def _steady_state_clip_seconds(dcm_path: str, tmp: str, tag: str, reps: int,
         marks.append(time.perf_counter())
     failures = writer.close()
     assert not failures, f"bench clip writes failed: {failures}"
-    return (marks[-1] - marks[1]) / reps
+    ivals = [b - a for a, b in zip(marks[1:], marks[2:])]
+    return min(ivals), sum(ivals) / len(ivals), max(ivals)
 
 
 def _make_analysis_hdf5(path: str, n: int, h: int, w: int) -> None:
@@ -237,6 +274,11 @@ def _epsilon_canary(on_tpu: bool) -> bool:
 def main() -> None:
     import jax
 
+    # keep the driver's tail buffer clean: the gated-analysis bench emits
+    # hundreds of expected per-frame peak-detection warnings on synthetic
+    # data, which truncated configs 1/3 out of BENCH_r03's recorded tail
+    logging.getLogger("tee_optical_flow_tpu").setLevel(logging.CRITICAL)
+
     on_tpu = jax.default_backend() not in ("cpu",)
     if not _epsilon_canary(on_tpu):
         SOLVER_PARAMS["epsilon"] = 0.0
@@ -250,9 +292,10 @@ def main() -> None:
         dt = _measure(clip, reps=1, use_pallas=False)
         emit("tvl1_cpu_baseline_fps", round(2 / dt, 4), "frames/s")
         i0, i1 = jnp.asarray(clip[:-1]), jnp.asarray(clip[1:])
-        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, use_pallas=False))))
+        df_kw = dict(use_pallas=False, interpolation="bicubic")
+        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, **df_kw))))
         t0 = time.perf_counter()
-        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, use_pallas=False))))
+        float(jnp.sum(jnp.abs(deepflow_pairs(i0, i1, **df_kw))))
         emit("deepflow_cpu_baseline_fps",
              round(2 / (time.perf_counter() - t0), 4), "frames/s")
         return
@@ -265,6 +308,12 @@ def main() -> None:
         dcm_path = os.path.join(tmp, "bench.dcm")
         _write_fixture_dicom(dcm_path, n_clip, ch, cw)
 
+        link = _link_MBps() if on_tpu else None
+        if on_tpu:
+            emit("host_device_link_MBps", link, "MB/s",
+                 note="32 MB f32 round trip, best of 3; e2e s/clip lines "
+                      "below scale with this (NOTES tunnel-degradation)")
+
         # --- context: the DICOM decode leg on its own ---
         from tee_optical_flow_tpu.io.dicom import read_dicom_clip
 
@@ -273,27 +322,24 @@ def main() -> None:
         for _ in range(3):
             read_dicom_clip(dcm_path)
         emit("dicom_decode_seconds", round((time.perf_counter() - t0) / 3, 3),
-             "s/clip", baseline="pydicom+GDCM path not installed here",
-             note="native RLE decode (dicomlite.cpp) of the 33f 480x640 "
-                  "fixture; included in the e2e clip metrics below")
+             "s/clip", baseline="pydicom+GDCM not installed here",
+             note="native RLE decode (dicomlite.cpp), 33f 480x640")
 
         # --- BASELINE config 1: otsu + TVL1, full e2e incl. decode ---
         from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
 
         cfg = OpticalFlowCalculationConfig(
             tvl1_use_pallas=on_tpu, tvl1_epsilon=SOLVER_PARAMS["epsilon"])
-        dt = _steady_state_clip_seconds(
+        best, mean, worst = _steady_state_clip_seconds(
             dcm_path, tmp, "otsu", reps, mode="otsu", no_saliency=True,
             OF_algo="TVL1", include_waveforms=False, config=cfg)
         emit("dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"
              if on_tpu else "dicom_to_hdf5_clip_seconds_cpu_smoke",
-             round(dt, 2), "s/clip", baseline=NO_REF_BASELINE + "; its CPU "
-             "flow alone would be ~340 s/clip at the recorded 0.0943 "
-             "frames/s",
-             note=f"real RLE DICOM file path (decode leg included); "
-                  f"frame-bucketed {n_clip}->"
-                  f"{-(-n_clip // cfg.frame_bucket) * cfg.frame_bucket} "
-                  f"frames")
+             round(best, 2), "s/clip", mean=round(mean, 2),
+             worst=round(worst, 2), link_MBps=link,
+             baseline=NO_REF_BASELINE,
+             note="best-of-%d inter-clip interval; real RLE DICOM path "
+                  "(decode incl.)" % reps)
 
         if on_tpu:
             # --- BASELINE config 3: SAM vit_t + TVL1 masked flow ---
@@ -305,15 +351,16 @@ def main() -> None:
             model, variables = sam_model_registry["vit_t"](
                 num_classes=3, dtype=jnp.bfloat16)
             segmentor = make_clip_segmentor(model, variables, micro_batch=4)
-            dt = _steady_state_clip_seconds(
+            best, mean, worst = _steady_state_clip_seconds(
                 dcm_path, tmp, "sam", reps, segmentor_model=segmentor,
                 mode="RVIO_2class", no_saliency=True, OF_algo="TVL1",
                 include_waveforms=False, config=cfg)
             emit("sam_tvl1_clip_seconds_steady_state_33f_480x640",
-                 round(dt, 2), "s/clip", baseline=NO_REF_BASELINE,
-                 note="vit_t bf16 micro-batch 4 at 1024^2, random-init "
-                      "weights (architecture-bound cost), RVIO_2class "
-                      "masks + full-settings TV-L1")
+                 round(best, 2), "s/clip", mean=round(mean, 2),
+                 worst=round(worst, 2), link_MBps=link,
+                 baseline=NO_REF_BASELINE,
+                 note="best-of-%d; vit_t bf16 mb=4 at 1024^2 + TV-L1"
+                      % reps)
 
             # --- BASELINE config 4: full gated radlong analysis ---
             from tee_optical_flow_tpu.batch.cohort import analyze_cohort_file
@@ -323,16 +370,19 @@ def main() -> None:
             row = analyze_cohort_file(h5_path,
                                       save_dir=os.path.join(tmp, "warm"))
             assert len(row) == 69, len(row)
-            t0 = time.perf_counter()
+            gated = []
             for i in range(reps):
+                t0 = time.perf_counter()
                 analyze_cohort_file(h5_path,
                                     save_dir=os.path.join(tmp, f"a{i}"))
+                gated.append(time.perf_counter() - t0)
             emit("gated_radlong_analysis_seconds_per_clip",
-                 round((time.perf_counter() - t0) / reps, 2), "s/clip",
+                 round(min(gated), 2), "s/clip",
+                 mean=round(sum(gated) / len(gated), 2),
+                 worst=round(max(gated), 2), link_MBps=link,
                  baseline=NO_REF_BASELINE,
-                 note="HDF5 -> ECG+arterial gating -> total + radlong "
-                      "peak stats + plots -> 69-value cohort row "
-                      "(reference analyze_optical_flow.py:1397-1499)")
+                 note="best-of-%d; ECG+arterial gating -> total+radlong "
+                      "peak stats + plots -> 69-value row" % reps)
 
             # --- BASELINE config 5: batch, WASE + saliency, nchunks=2 ---
             from tee_optical_flow_tpu.flow.pipeline import process_folder
@@ -360,28 +410,31 @@ def main() -> None:
                 assert not errs, errs
             emit("batch_wase_saliency_seconds_per_clip",
                  round((time.perf_counter() - t0) / 4, 2), "s/clip",
-                 baseline=NO_REF_BASELINE,
-                 note="4-clip process_folder, SAM masks + WASE bkgd "
-                      "compensation + fine-grained saliency, nchunks=2 "
-                      "serial, amortized")
+                 link_MBps=link, baseline=NO_REF_BASELINE,
+                 note="4-clip process_folder, SAM + WASE + saliency, "
+                      "nchunks=2 serial on ONE chip, amortized")
 
             # --- BASELINE config 2: DeepFlow backend ---
             from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
 
             frames = _make_clip(17, h, w)
             df0, df1 = jnp.asarray(frames[:-1]), jnp.asarray(frames[1:])
-            flow = deepflow_pairs(df0, df1, use_pallas=True)
+            df_kw = dict(use_pallas=True, interpolation="bicubic")
+            flow = deepflow_pairs(df0, df1, **df_kw)
             float(jnp.sum(jnp.abs(flow)))  # compile + warm
             t0 = time.perf_counter()
             for _ in range(3):
-                flow = deepflow_pairs(df0, df1, use_pallas=True)
+                flow = deepflow_pairs(df0, df1, **df_kw)
                 float(jnp.sum(jnp.abs(flow)))
             df_fps = 16 * 3 / (time.perf_counter() - t0)
             emit("deepflow_frames_per_sec_per_chip_480x640",
                  round(df_fps, 3), "frames/s",
                  vs_baseline=round(df_fps / RECORDED_CPU_DEEPFLOW_FPS, 1),
                  baseline=BASELINE_PROVENANCE +
-                 "; OpenCV-CPU DeepFlow not installable here")
+                 "; OpenCV-CPU DeepFlow not installable here",
+                 note="round-4 production defaults: edge-averaged "
+                      "diffusivities + bicubic warps (CPU baseline "
+                      "re-measured with both)")
 
     # --- context: TV-L1 in the bilinear fast mode (gather-free hat
     # shift-warps; the round-2 headline protocol's interpolator) ---
@@ -400,15 +453,21 @@ def main() -> None:
     # --- headline (last line): TV-L1 frames/s/chip ---
     dt = _measure(frames, reps=3 if on_tpu else 1, use_pallas=on_tpu)
     fps = (n_frames - 1) / dt
+
+    # one compact line with EVERY config's number, immediately before the
+    # headline, so all five BASELINE configs survive any tail truncation
+    _SUMMARY["tvl1_flow_frames_per_sec_per_chip_480x640"] = round(fps, 3)
+    print(json.dumps({"metric": "bench_summary_all_configs",
+                      "value": round(fps, 3), "unit": "frames/s",
+                      "vs_baseline": round(fps / RECORDED_CPU_BASELINE_FPS, 1),
+                      "all": _SUMMARY}), flush=True)
+
     emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),
          "frames/s", vs_baseline=round(fps / RECORDED_CPU_BASELINE_FPS, 1),
          baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None,
          note="production defaults = OpenCV DualTVL1 defaults exactly: "
-              "epsilon=0.01 per-pair early stop + bicubic (Catmull-Rom) "
-              "warps (round 3; CPU baseline re-measured with both). "
-              "Like OpenCV's, throughput is convergence- and therefore "
-              "content-dependent; epsilon=0 bilinear fixed-count numbers "
-              "are the round-2 records")
+              "eps=0.01 early stop + bicubic warps; throughput is "
+              "convergence/content-dependent like OpenCV's")
 
 
 if __name__ == "__main__":

@@ -9,8 +9,10 @@ the production resolution (480x640) with the reference solver settings:
   both sides so iteration counts match exactly);
 - DeepFlow vs the Brox/DeepFlow oracle (ops/deepflow_oracle.py —
   Brox et al. 2004 energy + Weinzaepfel 2013 matching term, red-black
-  SOR numerics), matching disabled on both sides (the matcher is pinned
-  separately by ground-truth displacement tests).
+  SOR numerics), solver at its round-4 production defaults
+  (edge-averaged diffusivities + bicubic warps): once with matching
+  disabled on both sides (pure variational solves) and once with the
+  backend's own matches fed to the oracle (``deepflow_matching``).
 
 Two content classes, a few pairs each (tee_optical_flow_tpu/synthetic.py):
 - "textured": smoothed speckle with known global shifts;
@@ -39,7 +41,15 @@ flow upsample — the reference's own interpolator; config
 ``tvl1_bicubic``. This isolates how much of the remaining divergence is
 the bilinear warp (most of the echo tail) vs f32-vs-f64 accumulation.
 
-Writes EPE_r{N}.json (default EPE_r03.json). Runtime: minutes per pair
+Round 4: the ``tvl1_production`` section measures THE SHIPPED DEFAULTS —
+bicubic warps + epsilon=0.01 early stop on both sides (OpenCV DualTVL1's
+own defaults; reference calculate_optical_flow.py:577-578) — over all
+cases; the epsilon and deepflow sections now cover all cases uniformly;
+and ``deepflow_matching`` compares the production DeepFlow path (the
+backend's cost-volume matches + seed fed to the oracle as identical
+constraints).
+
+Writes EPE_r{N}.json (default EPE_r04.json). Runtime: tens of minutes
 (the oracles are sequential NumPy); run in the background.
 """
 
@@ -116,7 +126,44 @@ def compare_pair_tvl1(i0, i1, use_pallas: bool, masks=None,
     return out
 
 
-def compare_pair_deepflow(i0, i1, masks=None) -> dict:
+def _backend_matches(i0, i1, match_radius: int = 4, beta: float = 0.3):
+    """The backend's own cost-volume matches + coarsest-level seed
+    (deepflow.deepflow_pairs' matching path, reproduced on the backend's
+    pyramid), in the oracle's ``matches``/``init`` format — so the
+    matching-enabled comparison constrains both solvers identically and
+    measures only the variational solves."""
+    import jax.numpy as jnp
+
+    from tee_optical_flow_tpu.ops.deepflow import _box_mean, coarse_match
+    from tee_optical_flow_tpu.ops.warp import build_pyramid, pyramid_shapes
+
+    h, w = i0.shape
+    shapes = pyramid_shapes(h, w, DF_SETTINGS["nscales"],
+                            DF_SETTINGS["zoom"])
+    pyr0 = build_pyramid(jnp.asarray(i0[None], jnp.float32), shapes)
+    pyr1 = build_pyramid(jnp.asarray(i1[None], jnp.float32), shapes)
+    nlvl = len(shapes)
+    matches = {}
+    for lvl in (nlvl - 1, nlvl - 2):
+        um, vm, conf = coarse_match(pyr0[lvl], pyr1[lvl],
+                                    radius=match_radius)
+        matches[lvl] = tuple(np.asarray(a)[0] for a in (um, vm, conf))
+    ch, cw = shapes[-1]
+    um, vm, conf = (jnp.asarray(a[None]) for a in matches[nlvl - 1])
+    fill = max(ch, cw) // 4 + 1
+    wsum = _box_mean(conf, fill) + 1e-6
+    init = (np.asarray(_box_mean(um * conf, fill) / wsum)[0],
+            np.asarray(_box_mean(vm * conf, fill) / wsum)[0])
+    return matches, init
+
+
+def compare_pair_deepflow(i0, i1, use_pallas: bool, masks=None,
+                          matching: bool = False) -> dict:
+    """Backend vs oracle. ``matching=False`` compares the pure
+    variational solves; ``matching=True`` runs the backend's full
+    production path (cost-volume matches + seed) and feeds the oracle
+    the backend's own matches, so both minimize the same constrained
+    energy."""
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
@@ -124,12 +171,16 @@ def compare_pair_deepflow(i0, i1, masks=None) -> dict:
         deepflow_flow_oracle, epe,
     )
 
+    okw = dict(fp_iters=3, psi_iters=5, sor_iters=30, **DF_SETTINGS)
+    if matching:
+        okw["matches"], okw["init"] = _backend_matches(i0, i1)
+        okw["beta"] = 0.3
     t0 = time.perf_counter()
-    golden = deepflow_flow_oracle(i0, i1, fp_iters=3, psi_iters=5,
-                                  sor_iters=30, **DF_SETTINGS)
+    golden = deepflow_flow_oracle(i0, i1, **okw)
     t_oracle = time.perf_counter() - t0
 
-    kw = dict(iters=25, fp_iters=3, matching=False,
+    kw = dict(iters=25, fp_iters=3, matching=matching,
+              use_pallas=use_pallas, interpolation="bicubic",
               **{k: v for k, v in DF_SETTINGS.items()})
     deepflow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
                    **kw).block_until_ready()
@@ -154,7 +205,7 @@ def _case_report(err, masks, t_oracle, t_solver) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EPE_r03.json")
+    ap.add_argument("--out", default="EPE_r04.json")
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--pairs", type=int, default=2, help="pairs per class")
     ap.add_argument("--skip-deepflow", action="store_true")
@@ -186,28 +237,71 @@ def main() -> None:
         cubic_cases[f"echo_{k}"] = r["bicubic"]
         print(f"echo_{k}: {r}", flush=True)
 
-    # production-default early stop (config tvl1_epsilon=0.01, the OpenCV
-    # default): one pair per class, epsilon on BOTH sides
+    # THE PRODUCTION CONFIGURATION (round 4, VERDICT r3 missing #1):
+    # epsilon=0.01 early stop on BOTH sides x bicubic warps — exactly the
+    # shipped defaults (config.py tvl1_epsilon/tvl1_interpolation =
+    # OpenCV's DualTVL1 defaults, reference calculate_optical_flow.py:
+    # 577-578) — over ALL cases. The bilinear eps results are kept for
+    # round-3 comparability; one oracle run serves both solver modes.
+    prod_cases = {}
     eps_cases = {}
     if not args.skip_epsilon:
-        i0, i1 = make_textured_pair(0, h, w, shifts[0])
-        eps_cases["textured_0"] = compare_pair_tvl1(
-            i0, i1, use_pallas, epsilon=0.01)["bilinear"]
-        print(f"eps=0.01 textured_0: {eps_cases['textured_0']}", flush=True)
-        i0, i1 = make_echo_pair(100, h, w, contraction=0.03)
-        eps_cases["echo_0"] = compare_pair_tvl1(
-            i0, i1, use_pallas, masks=echo_masks,
-            epsilon=0.01)["bilinear"]
-        print(f"eps=0.01 echo_0: {eps_cases['echo_0']}", flush=True)
+        for k in range(args.pairs):
+            i0, i1 = make_textured_pair(k, h, w, shifts[k % len(shifts)])
+            r = compare_pair_tvl1(i0, i1, use_pallas, epsilon=0.01,
+                                  interpolations=both)
+            eps_cases[f"textured_{k}"] = r["bilinear"]
+            prod_cases[f"textured_{k}"] = r["bicubic"]
+            print(f"eps=0.01 textured_{k}: {r}", flush=True)
+        for k in range(args.pairs):
+            i0, i1 = make_echo_pair(100 + k, h, w,
+                                    contraction=0.03 + 0.02 * k)
+            r = compare_pair_tvl1(i0, i1, use_pallas, masks=echo_masks,
+                                  epsilon=0.01, interpolations=both)
+            eps_cases[f"echo_{k}"] = r["bilinear"]
+            prod_cases[f"echo_{k}"] = r["bicubic"]
+            print(f"eps=0.01 echo_{k}: {r}", flush=True)
 
+    # DeepFlow over ALL cases (round 4), in both modes: matching disabled
+    # (pure variational solves) and the production matching path with the
+    # backend's own matches fed to the oracle
     df_cases = {}
+    df_match_cases = {}
     if not args.skip_deepflow:
-        i0, i1 = make_textured_pair(0, h, w, shifts[0])
-        df_cases["textured_0"] = compare_pair_deepflow(i0, i1)
-        print(f"deepflow textured_0: {df_cases['textured_0']}", flush=True)
-        i0, i1 = make_echo_pair(100, h, w, contraction=0.04)
-        df_cases["echo_0"] = compare_pair_deepflow(i0, i1, masks=echo_masks)
-        print(f"deepflow echo_0: {df_cases['echo_0']}", flush=True)
+        for k in range(args.pairs):
+            i0, i1 = make_textured_pair(k, h, w, shifts[k % len(shifts)])
+            df_cases[f"textured_{k}"] = compare_pair_deepflow(
+                i0, i1, use_pallas)
+            df_match_cases[f"textured_{k}"] = compare_pair_deepflow(
+                i0, i1, use_pallas, matching=True)
+            print(f"deepflow textured_{k}: {df_cases[f'textured_{k}']} "
+                  f"matching: {df_match_cases[f'textured_{k}']}", flush=True)
+        for k in range(args.pairs):
+            i0, i1 = make_echo_pair(100 + k, h, w,
+                                    contraction=0.03 + 0.02 * k)
+            df_cases[f"echo_{k}"] = compare_pair_deepflow(
+                i0, i1, use_pallas, masks=echo_masks)
+            df_match_cases[f"echo_{k}"] = compare_pair_deepflow(
+                i0, i1, use_pallas, masks=echo_masks, matching=True)
+            print(f"deepflow echo_{k}: {df_cases[f'echo_{k}']} "
+                  f"matching: {df_match_cases[f'echo_{k}']}", flush=True)
+
+    def _section(case_dict):
+        meds = [c["interior"]["median_px"] for c in case_dict.values()]
+        sect = [c["sector"]["p95_px"] for c in case_dict.values()
+                if "sector" in c]
+        wall = [c["wall"]["p95_px"] for c in case_dict.values()
+                if "wall" in c]
+        return {
+            "worst_interior_median_px": max(meds) if meds else None,
+            "worst_wall_masked_p95_px": max(wall) if wall else None,
+            "wall_masked_p95_met": (bool(max(wall) < 0.1)
+                                    if wall else None),
+            "worst_sector_masked_p95_px": max(sect) if sect else None,
+            "sector_masked_p95_met": (bool(max(sect) < 0.1)
+                                      if sect else None),
+            "cases": case_dict,
+        }
 
     medians = [c["interior"]["median_px"] for c in cases.values()]
     sector_p95 = [c["sector"]["p95_px"] for c in cases.values()
@@ -271,20 +365,28 @@ def main() -> None:
             "cases": cubic_cases,
         },
         "tvl1_cases": cases,
-        # solver(eps=0.01) vs oracle(eps=0.01): the production default
-        # (OpticalFlowCalculationConfig.tvl1_epsilon, OpenCV's default
-        # early stop). Includes any divergence from f32-vs-f64 stopping
-        # decisions on top of the deterministic protocol above.
+        # THE SHIPPED DEFAULTS, both sides: bicubic (Catmull-Rom) warps +
+        # epsilon=0.01 early stop — OpenCV DualTVL1's exact defaults and
+        # this pipeline's production config (config.py tvl1_interpolation
+        # / tvl1_epsilon). This is the combination users actually run.
+        "tvl1_production": _section(prod_cases),
+        # solver(eps=0.01) vs oracle(eps=0.01) in the bilinear fast mode
+        # (round-3 comparability; includes f32-vs-f64 stopping-decision
+        # divergence on top of the deterministic protocol above)
         "tvl1_epsilon001_cases": eps_cases,
         "deepflow_cases": df_cases,
+        # the production DeepFlow path: backend matching + seed enabled,
+        # the backend's own cost-volume matches fed to the oracle so both
+        # minimize the identical constrained energy
+        "deepflow_matching": _section(df_match_cases),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     summary = {k: v for k, v in report.items()
                if k not in ("tvl1_cases", "deepflow_cases",
                             "tvl1_epsilon001_cases")}
-    summary["tvl1_bicubic"] = {k: v for k, v in report["tvl1_bicubic"].items()
-                               if k != "cases"}
+    for sec in ("tvl1_bicubic", "tvl1_production", "deepflow_matching"):
+        summary[sec] = {k: v for k, v in report[sec].items() if k != "cases"}
     print(json.dumps(summary))
 
 

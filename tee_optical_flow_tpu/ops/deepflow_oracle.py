@@ -25,9 +25,11 @@ backend in ops/deepflow.py, which is the point of an oracle:
   solve of the coupled per-pixel 2x2 linear system — Gauss-Seidel
   ordering, not the backend's damped Jacobi;
 - edge-averaged diffusivities w_{i+1/2,j} = (psi'_i + psi'_{i+1})/2 for
-  div(psi' grad u) — the textbook discretization (the backend uses the
-  central-weight approximation; they agree wherever psi' varies slowly,
-  which the golden tests exploit by comparing interiors of smooth flows).
+  div(psi' grad u) — the textbook discretization. Round 4: the backend
+  now uses the same discretization (its previous central-weight
+  approximation agreed with this only where psi' varies slowly, and was
+  the dominant term of the round-3 echo EPE gap); the remaining numeric
+  difference is damped Jacobi vs this oracle's red-black SOR ordering.
 
 Matching enters exactly as in the backend: ``matches`` maps a pyramid
 level index to that level's (um, vm, conf) fields, and ``init`` seeds the

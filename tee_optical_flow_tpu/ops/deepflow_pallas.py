@@ -20,7 +20,8 @@ behavior reproduced via clamped rolls:
 
 - ``centered_gradient`` (warp.py:279): replicate borders,
   0.5 * (right - left) / 0.5 * (down-row - up-row);
-- ``nbr_sum``: edge-padded 4-neighbor sum (clamped shifts);
+- edge-averaged smoothness diffusivities over edge-padded (clamped)
+  shifts, matching the XLA path's round-4 discretization;
 - the matching soft constraint is a compile-time variant (the term only
   exists at the two coarsest pyramid levels).
 
@@ -98,7 +99,9 @@ def _jacobi_kernel(*refs, iters: int, alpha: float, delta: float,
         b2 = -(psi_d * i1wy * it + psi_g * (i1wxy * itx + i1wyy * ity))
 
         # smoothness weights: psi' of the flow-gradient magnitude at the
-        # current increment (centered differences, replicate borders)
+        # current increment (centered differences, replicate borders),
+        # then EDGE-AVERAGED diffusivities for div(psi' grad w) — same
+        # arithmetic (and order) as deepflow._jacobi_sweeps (round 4)
         uu = u0 + du
         vv = v0 + dv
         ux = 0.5 * (nxt_col(uu) - prv_col(uu))
@@ -107,11 +110,15 @@ def _jacobi_kernel(*refs, iters: int, alpha: float, delta: float,
         vy = 0.5 * (nxt_row(vv) - prv_row(vv))
         w = robust(ux * ux + uy * uy + vx * vx + vy * vy) * alpha
 
-        wsum = 4.0 * w
-        nbr_u = prv_row(uu) + nxt_row(uu) + prv_col(uu) + nxt_col(uu)
-        nbr_v = prv_row(vv) + nxt_row(vv) + prv_col(vv) + nxt_col(vv)
-        su = nbr_u * w - wsum * u0
-        sv = nbr_v * w - wsum * v0
+        wn = 0.5 * (w + prv_row(w))
+        ws = 0.5 * (w + nxt_row(w))
+        ww = 0.5 * (w + prv_col(w))
+        we = 0.5 * (w + nxt_col(w))
+        wsum = wn + ws + ww + we
+        su = (wn * prv_row(uu) + ws * nxt_row(uu) +
+              ww * prv_col(uu) + we * nxt_col(uu) - wsum * u0)
+        sv = (wn * prv_row(vv) + ws * nxt_row(vv) +
+              ww * prv_col(vv) + we * nxt_col(vv) - wsum * v0)
 
         if use_match:
             ru = u0 + du - um
