@@ -110,14 +110,21 @@ class MBConv(nn.Module):
 
 class PatchMerging(nn.Module):
     """1x1 expand, 3x3 depthwise (stride 1 when out_dim == 320 — the
-    MobileSAM change keeping stage 3 at 64x64), 1x1 (reference :135-163)."""
+    MobileSAM change keeping stage 3 at 64x64), 1x1 (reference :135-163).
+
+    ``keep_resolution`` forces stride 1 regardless of width: the dim
+    tuple below is how the reference spells "the final merge does not
+    downsample" for its production widths; TinyViT passes the structural
+    flag so reduced-width test architectures keep the same /16 total."""
 
     out_dim: int
+    keep_resolution: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        stride = 1 if self.out_dim in (320, 448, 576) else 2
+        stride = (1 if self.keep_resolution
+                  or self.out_dim in (320, 448, 576) else 2)
         x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv1")(x, train)
         x = gelu(x)
         x = ConvBN(self.out_dim, 3, stride=stride, padding=1,
@@ -233,7 +240,9 @@ class TinyViT(nn.Module):
                     self.mlp_ratio, use_adapter=(stage in self.adapter_stages),
                     dtype=self.dtype, name=f"stage{stage}_block{i}")(x, train)
             if stage < 3:
-                x = PatchMerging(self.embed_dims[stage + 1], dtype=self.dtype,
+                x = PatchMerging(self.embed_dims[stage + 1],
+                                 keep_resolution=(stage == 2),
+                                 dtype=self.dtype,
                                  name=f"merge{stage}")(x, train)
 
         # SAM neck: 1x1 -> LN -> 3x3 -> LN, to 256 channels at 64x64

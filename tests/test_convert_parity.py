@@ -226,7 +226,12 @@ def test_full_sam_conversion_structural():
     tsam = build_sam_vit_t(REF_ARGS, checkpoint=None, num_classes=3)
     sd = tsam.state_dict()
 
-    model, variables = build_ours(num_classes=3, image_size=1024, seed=0)
+    # vit_t has NO image-size-dependent parameter shapes (TinyViT
+    # attention biases key off window sizes; prompt/mask decoder are
+    # fixed-width), so the template init can trace at 64^2 instead of
+    # 1024^2 — identical tree, ~16x cheaper on the 1-core CI host. The
+    # torch side stays at the reference's 1024 args.
+    model, variables = build_ours(num_classes=3, image_size=64, seed=0)
     converted = convert_sam_state_dict(sd, variables, arch="vit_t", num_classes=3)
 
     # spot-check a few converted leaves against their torch sources

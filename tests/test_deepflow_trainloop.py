@@ -100,15 +100,17 @@ def test_deepflow_clip_shape(rng):
 
 
 @pytest.mark.slow
-def test_train_model_full_loop(tmp_path, rng):
+def test_train_model_full_loop(tmp_path, rng, mini_sam_builder):
     """The whole fine-tuning loop on a synthetic learnable task: epochs,
-    eval cadence, tensorboard scalars, best-DSC checkpoint, early stop."""
+    eval cadence, tensorboard scalars, best-DSC checkpoint, early stop.
+    Mini arch (conftest): the assertions are loop mechanics, not model
+    capacity."""
     from tee_optical_flow_tpu.config import TrainConfig
-    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
     from tee_optical_flow_tpu.train.loop import train_model
 
     IMG = 64
-    model, variables = build_sam_vit_t(num_classes=2, image_size=IMG, seed=0)
+    model, variables = mini_sam_builder[0](num_classes=2, image_size=IMG,
+                                           seed=0)
 
     # learnable task: label = bright blob location
     def make_batch(seed):

@@ -89,12 +89,12 @@ def test_vae_and_discriminator():
 
 
 @pytest.mark.slow
-def test_predictor_and_amg_end_to_end():
+def test_predictor_and_amg_end_to_end(mini_sam_builder):
     from tee_optical_flow_tpu.models.amg import SamAutomaticMaskGenerator
     from tee_optical_flow_tpu.models.predictor import SamPredictor
-    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
 
-    model, variables = build_sam_vit_t(num_classes=2, image_size=64, seed=0)
+    model, variables = mini_sam_builder[0](num_classes=2, image_size=64,
+                                           seed=0)
     pred = SamPredictor(model, variables)
     img = (np.random.default_rng(0).uniform(size=(40, 48, 3)) * 255).astype(np.uint8)
     with pytest.raises(RuntimeError):
@@ -115,11 +115,11 @@ def test_predictor_and_amg_end_to_end():
 
 
 @pytest.mark.slow
-def test_export_roundtrip():
+def test_export_roundtrip(mini_sam_builder):
     from tee_optical_flow_tpu.models.export import load_exported, save_exported
-    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
 
-    model, variables = build_sam_vit_t(num_classes=2, image_size=64, seed=0)
+    model, variables = mini_sam_builder[0](num_classes=2, image_size=64,
+                                           seed=0)
     path = "/tmp/sam_export_test.bin"
     save_exported(model, variables, path, image_size=64)
     fn = load_exported(path)

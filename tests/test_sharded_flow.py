@@ -41,12 +41,15 @@ def test_sharded_clip_flow_matches_single(rng):
 
 
 @pytest.mark.slow
-def test_box_prompted_train_step(rng):
-    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
+def test_box_prompted_train_step(rng, mini_sam_builder):
+    """Box prompts through the DP train step (reference
+    SingleGPU_train_finetune_box.py:93-105) on the mini arch — the
+    assertion is prompt wiring, not model size."""
     from tee_optical_flow_tpu.train.loop import build_runtime, make_train_step
 
     IMG = 64
-    model, variables = build_sam_vit_t(num_classes=2, image_size=IMG, seed=0)
+    build_mini_sam, _ = mini_sam_builder
+    model, variables = build_mini_sam(num_classes=2, image_size=IMG, seed=0)
     cfg = TrainConfig(num_cls=2, image_size=IMG, out_size=IMG // 4, b=8,
                       lr=1e-3, warmup_period=2, epochs=1)
     mesh = make_mesh()
@@ -113,16 +116,17 @@ def test_sharded_deepflow_branch(rng):
 
 
 @pytest.mark.slow
-def test_sharded_clip_segmentor_matches_single(rng):
+def test_sharded_clip_segmentor_matches_single(rng, mini_sam_builder):
     """Frame-axis DP segmentation over the 8-way mesh: parameters
     replicated, micro-batch frame axis sharded over 'data' — labels must
     equal the single-device segmentor's exactly, for both the host and
-    the device-resident (labels_device) paths."""
+    the device-resident (labels_device) paths. Mini arch: the assertion
+    is sharding equality, not model size."""
     from tee_optical_flow_tpu.exceptions import ShardingError
-    from tee_optical_flow_tpu.models.registry import build_sam_vit_t
     from tee_optical_flow_tpu.models.sam import make_clip_segmentor
 
-    model, variables = build_sam_vit_t(num_classes=3, image_size=64, seed=0)
+    model, variables = mini_sam_builder[0](num_classes=3, image_size=64,
+                                           seed=0)
     mesh = make_mesh(data_axis=8, model_axis=1)
     clip = (rng.uniform(size=(10, 40, 44, 3)) * 255).astype(np.uint8)
 

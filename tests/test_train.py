@@ -216,14 +216,19 @@ def test_host_shard_list():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("finetune_type", ["vanilla", "adapter", "lora"])
-def test_train_step_multidevice(tiny_sam, finetune_type):
-    """One real DP train step on the 8-device CPU mesh for each policy."""
+def test_train_step_multidevice(mini_sam_builder, finetune_type):
+    """One real DP train step on the 8-device CPU mesh for each policy.
+    Runs on the depth-reduced mini arch (conftest._build_mini_sam): the
+    assertions exercise partitioning/sharding/loss, not model size."""
+    build_mini_sam, mini_heads = mini_sam_builder
+
     if finetune_type == "adapter":
-        model, variables = build_sam_vit_t(
+        model, variables = build_mini_sam(
             num_classes=3, image_size=IMG, seed=0, adapter_stages=(2, 3),
             use_decoder_adapter=True)
     else:
-        model, variables = tiny_sam
+        model, variables = build_mini_sam(num_classes=3, image_size=IMG,
+                                          seed=0)
 
     cfg = TrainConfig(num_cls=3, image_size=IMG, out_size=IMG // 4, b=8,
                       lr=1e-3, warmup_period=2, epochs=1,
@@ -236,7 +241,7 @@ def test_train_step_multidevice(tiny_sam, finetune_type):
     if finetune_type == "lora":
         from tee_optical_flow_tpu.models.lora import init_lora as _il, merge_lora as _ml
         lora_params = _il(variables["params"], rank=2, seed=0)
-        lora_merge = lambda base, lo: _ml(base, lo)
+        lora_merge = lambda base, lo: _ml(base, lo, heads_by_dim=mini_heads)
 
     init_state, train_step = make_train_step(
         model, runtime, finetune_type=finetune_type,
