@@ -49,7 +49,7 @@ and ``deepflow_matching`` compares the production DeepFlow path (the
 backend's cost-volume matches + seed fed to the oracle as identical
 constraints).
 
-Writes EPE_r{N}.json (default EPE_r04.json). Runtime: tens of minutes
+Writes EPE_r{N}.json (default EPE_r05.json). Runtime: tens of minutes
 (the oracles are sequential NumPy); run in the background.
 """
 
@@ -220,7 +220,7 @@ def _case_report(err, masks, t_oracle, t_solver) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EPE_r04.json")
+    ap.add_argument("--out", default="EPE_r05.json")
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--pairs", type=int, default=2, help="pairs per class")
     ap.add_argument("--skip-deepflow", action="store_true")
@@ -315,34 +315,51 @@ def main() -> None:
                   f"matching: {df_match_cases[f'echo_{k}']}", flush=True)
 
     def _prod_section(case_dict):
-        """_section plus the measured stopping-noise floor: with eps=0.01
-        early stop, the float64 oracle deviates from its own converged
-        self by MORE (sector p95 ~0.11-0.13 px, measured here per case)
-        than the solver deviates from the early-stopped oracle — so a
-        sector p95 < 0.1 px target is unattainable BY CONSTRUCTION at
-        OpenCV's default epsilon, for any solver. The wall numbers (what
-        the pipeline's masked analysis consumes) sit well under both the
-        target and the floor."""
+        """_section plus the measured stopping-noise floor. The floor is a
+        DEFINITION, computed per case: EPE(oracle eps=0.01, oracle
+        converged), float64 both sides — the eps=0.01 protocol's own
+        uncertainty. Whether the solver sits within it is a measured
+        boolean, evaluated per case (a solver case must beat ITS OWN
+        case's floor, not the max floor across cases — advisor r4)."""
         sec = _section(case_dict)
-        floors = [c["stopping_noise_floor"] for c in case_dict.values()
-                  if "stopping_noise_floor" in c]
-        f_sect = [f["sector"]["p95_px"] for f in floors if "sector" in f]
-        f_wall = [f["wall"]["p95_px"] for f in floors if "wall" in f]
+        f_sect, f_wall, within = [], [], []
+        for c in case_dict.values():
+            floor = c.get("stopping_noise_floor")
+            if floor is None:
+                continue
+            if "sector" in floor:
+                f_sect.append(floor["sector"]["p95_px"])
+                if "sector" in c:
+                    within.append(
+                        c["sector"]["p95_px"] <= floor["sector"]["p95_px"])
+            if "wall" in floor:
+                f_wall.append(floor["wall"]["p95_px"])
         sec["stopping_noise_floor_sector_p95_px"] = (max(f_sect)
                                                      if f_sect else None)
         sec["stopping_noise_floor_wall_p95_px"] = (max(f_wall)
                                                    if f_wall else None)
-        if f_sect and sec["worst_sector_masked_p95_px"] is not None:
-            sec["sector_p95_within_stopping_noise"] = bool(
-                sec["worst_sector_masked_p95_px"] <= max(f_sect))
+        if within:
+            sec["sector_p95_within_stopping_noise"] = bool(all(within))
         sec["note"] = (
             "stopping_noise_floor = EPE(oracle eps=0.01, oracle "
             "converged), float64 both sides: the eps=0.01 protocol's own "
-            "uncertainty. Solver-vs-oracle sector p95 at or below this "
-            "floor measures the early-stop decision, not solver "
-            "accuracy; the <0.1 px sector target is unattainable by "
-            "construction at OpenCV's default epsilon. The wall contract "
-            "(the product's masked analysis) is met outright.")
+            "uncertainty, per case. Solver-vs-oracle sector p95 at or "
+            "below its case's floor measures the early-stop decision, "
+            "not solver accuracy.")
+        # measured-status prose, derived from the booleans of THIS run
+        status = []
+        if sec.get("wall_masked_p95_met"):
+            status.append("wall contract met outright")
+        elif sec.get("wall_masked_p95_met") is False:
+            status.append("wall contract NOT met")
+        if sec.get("sector_masked_p95_met"):
+            status.append("sector target met outright")
+        elif sec.get("sector_masked_p95_met") is False:
+            status.append(
+                "sector target met only within the stopping-noise floor"
+                if sec.get("sector_p95_within_stopping_noise")
+                else "sector target NOT met (exceeds the floor)")
+        sec["status"] = "; ".join(status) if status else None
         return sec
 
     def _section(case_dict):
@@ -362,31 +379,43 @@ def main() -> None:
             "cases": case_dict,
         }
 
-    medians = [c["interior"]["median_px"] for c in cases.values()]
-    sector_p95 = [c["sector"]["p95_px"] for c in cases.values()
-                  if "sector" in c]
-    wall_p95 = [c["wall"]["p95_px"] for c in cases.values() if "wall" in c]
-    c_medians = [c["interior"]["median_px"] for c in cubic_cases.values()]
-    c_sector = [c["sector"]["p95_px"] for c in cubic_cases.values()
-                if "sector" in c]
-    c_wall = [c["wall"]["p95_px"] for c in cubic_cases.values()
+    # THE HEADLINE DESCRIBES THE SHIPPED PRODUCTION CONFIG (round 5,
+    # VERDICT r4 next #4): bicubic (Catmull-Rom) warps + epsilon=0.01
+    # early stop on both sides — OpenCV DualTVL1's exact defaults and
+    # this pipeline's config.py tvl1_interpolation/tvl1_epsilon. The
+    # bilinear fast mode and the eps=0 deterministic protocol are kept
+    # as NESTED sections for comparability; a reader of the top-level
+    # *_met flags sees the truth about what users actually run. When
+    # --skip-epsilon is passed, the headline falls back to the bicubic
+    # eps=0 deterministic protocol (and says so).
+    headline_cases = prod_cases if prod_cases else cubic_cases
+    headline_protocol = (
+        "production: bicubic warps + epsilon=0.01 early stop on both "
+        "sides (OpenCV DualTVL1 defaults)" if prod_cases else
+        "deterministic: bicubic warps, epsilon=0 fixed iteration counts "
+        "on both sides")
+    h_meds = [c["interior"]["median_px"] for c in headline_cases.values()]
+    h_sect = [c["sector"]["p95_px"] for c in headline_cases.values()
+              if "sector" in c]
+    h_wall = [c["wall"]["p95_px"] for c in headline_cases.values()
               if "wall" in c]
     report = {
         "metric": "flow_epe_vs_float64_oracles_px",
         "north_star_threshold_px": 0.1,
-        "north_star_met": bool(max(medians) < 0.1),
-        "worst_interior_median_px": max(medians),
+        "north_star_protocol": headline_protocol,
+        "north_star_met": bool(max(h_meds) < 0.1),
+        "worst_interior_median_px": max(h_meds),
         # the product contract: the pipeline reads flow only through
         # segmentation masks (myocardium) — the wall numbers. The sector
         # figure still includes the near-zero-signal cavity (~24% of the
         # sector), where solver-vs-oracle divergence is smoothness
         # diffusion, not measurement error (see note)
-        "worst_wall_masked_p95_px": max(wall_p95) if wall_p95 else None,
-        "wall_masked_p95_met": (bool(max(wall_p95) < 0.1)
-                                if wall_p95 else None),
-        "worst_sector_masked_p95_px": max(sector_p95) if sector_p95 else None,
-        "sector_masked_p95_met": (bool(max(sector_p95) < 0.1)
-                                  if sector_p95 else None),
+        "worst_wall_masked_p95_px": max(h_wall) if h_wall else None,
+        "wall_masked_p95_met": (bool(max(h_wall) < 0.1)
+                                if h_wall else None),
+        "worst_sector_masked_p95_px": max(h_sect) if h_sect else None,
+        "sector_masked_p95_met": (bool(max(h_sect) < 0.1)
+                                  if h_sect else None),
         "resolution": [h, w],
         "solver_backend": jax.default_backend(),
         "tvl1_settings": SETTINGS,
@@ -410,24 +439,16 @@ def main() -> None:
         # solver in interpolation='bicubic' mode (Catmull-Rom shift-warps
         # + cubic flow upsample — the IPOL/OpenCV reference's OWN warp
         # interpolator, config tvl1_interpolation) against the SAME
-        # oracle runs: removes the bilinear-vs-bicubic warp divergence,
-        # leaving f32-vs-f64 accumulation as the only systematic gap
-        "tvl1_bicubic": {
-            "worst_interior_median_px": max(c_medians) if c_medians else None,
-            "worst_wall_masked_p95_px": max(c_wall) if c_wall else None,
-            "wall_masked_p95_met": (bool(max(c_wall) < 0.1)
-                                    if c_wall else None),
-            "worst_sector_masked_p95_px": (max(c_sector)
-                                           if c_sector else None),
-            "sector_masked_p95_met": (bool(max(c_sector) < 0.1)
-                                      if c_sector else None),
-            "cases": cubic_cases,
-        },
+        # eps=0 oracle runs: the deterministic protocol (iteration counts
+        # match exactly), isolating f32-vs-f64 accumulation
+        "tvl1_bicubic": _section(cubic_cases),
+        # bilinear FAST MODE, eps=0 deterministic protocol (round-2/3
+        # comparability; NOT the production default)
+        "tvl1_bilinear_eps0": _section(cases),
         "tvl1_cases": cases,
         # THE SHIPPED DEFAULTS, both sides: bicubic (Catmull-Rom) warps +
-        # epsilon=0.01 early stop — OpenCV DualTVL1's exact defaults and
-        # this pipeline's production config (config.py tvl1_interpolation
-        # / tvl1_epsilon). This is the combination users actually run.
+        # epsilon=0.01 early stop — the headline above summarizes this
+        # section; kept nested with its per-case stopping-noise floors
         "tvl1_production": _prod_section(prod_cases),
         # solver(eps=0.01) vs oracle(eps=0.01) in the bilinear fast mode
         # (round-3 comparability; includes f32-vs-f64 stopping-decision
@@ -439,12 +460,21 @@ def main() -> None:
         # minimize the identical constrained energy
         "deepflow_matching": _section(df_match_cases),
     }
+    # surface the production floor verdict at top level: if the shipped
+    # config misses the raw <0.1 px sector threshold, a reader must see
+    # the floor context next to the flag, not buried in a nested section
+    if prod_cases:
+        for key in ("sector_p95_within_stopping_noise",
+                    "stopping_noise_floor_sector_p95_px", "status"):
+            if key in report["tvl1_production"]:
+                report[key] = report["tvl1_production"][key]
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     summary = {k: v for k, v in report.items()
                if k not in ("tvl1_cases", "deepflow_cases",
                             "tvl1_epsilon001_cases")}
-    for sec in ("tvl1_bicubic", "tvl1_production", "deepflow_matching"):
+    for sec in ("tvl1_bicubic", "tvl1_bilinear_eps0", "tvl1_production",
+                "deepflow_matching"):
         summary[sec] = {k: v for k, v in report[sec].items() if k != "cases"}
     print(json.dumps(summary))
 

@@ -238,7 +238,15 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     deepflow_alpha: float = 8.0
     deepflow_delta: float = 0.5
     deepflow_gamma: float = 5.0
-    deepflow_iterations: int = 25
+    # red-black SOR sweeps per lagged-nonlinearity (psi) round, psi
+    # rounds per fixed point, and the SOR relaxation factor — the
+    # numerics OpenCV's own DeepFlow runs (sorIterations / omega=1.6).
+    # Round 5: replaced the damped-Jacobi solve, which under-converged
+    # the low-data cavity (sector p95 0.13-0.22 px vs the converged
+    # fixed point; EPE_r05.json deepflow sections)
+    deepflow_iterations: int = 30
+    deepflow_psi_iterations: int = 5
+    deepflow_omega: float = 1.6
     deepflow_nscales: int = 5
     # DeepFlow matching term: patch-NCC cost-volume matches at the two
     # coarsest levels as a soft constraint (reference's DeepMatching stage)

@@ -159,13 +159,16 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
                               delta=config.deepflow_delta,
                               gamma=config.deepflow_gamma,
                               iters=config.deepflow_iterations,
+                              psi_iters=config.deepflow_psi_iterations,
+                              omega=config.deepflow_omega,
                               nscales=config.deepflow_nscales,
                               matching=config.deepflow_matching,
                               match_radius=config.deepflow_match_radius,
                               beta=config.deepflow_beta,
                               fp_iters=config.deepflow_fp_iterations,
                               max_disp=config.deepflow_max_displacement,
-                              use_pallas=config.deepflow_use_pallas)
+                              use_pallas=config.deepflow_use_pallas,
+                              interpolation=config.deepflow_interpolation)
     return flow[:n_pairs, :h, :w, :]
 
 

@@ -365,8 +365,29 @@ def decode_pixel_data(ds: DicomDataset) -> np.ndarray:
         for payload in raw:
             if ts == RLE_LOSSLESS:
                 frames.append(_rle_decode_frame(payload, rows, cols, samples, bits))
+            elif ts == JPEG_LOSSLESS:
+                # process-14 SV1 streams are NOT decodable by cv2.imdecode
+                # (SOF3); they ride the native C++ decoder
+                # (native/dicomlite.cpp dicom_jpegll_decode) and fail
+                # loudly if it is unavailable rather than mis-decode
+                from .dicom_native import jpegll_decode_frame
+
+                img = jpegll_decode_frame(bytes(payload))
+                if img is None:
+                    raise DICOMReadError(
+                        "JPEG-Lossless (1.2.840.10008.1.2.4.70) frame could "
+                        "not be decoded: the native dicomlite library is "
+                        "unavailable or the stream is not a valid "
+                        "process-14 scan (build native/ with `make`)")
+                frames.append(img)
             else:
-                import cv2
+                try:
+                    import cv2
+                except ImportError as exc:
+                    raise DICOMReadError(
+                        f"transfer syntax {ts} needs cv2 for JPEG decode; "
+                        "install the 'jpeg' extra "
+                        "(pip install tee-optical-flow-tpu[jpeg])") from exc
                 buf = np.frombuffer(payload, np.uint8)
                 img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
                 if img is None:

@@ -61,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
         lib.dicom_rle_decode.restype = ctypes.c_int64
+        lib.dicom_jpegll_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.dicom_jpegll_decode.restype = ctypes.c_int64
         _lib = lib
     except Exception as exc:
         logger.info("native dicomlite unavailable (%s); using pure-Python parser", exc)
@@ -73,22 +78,49 @@ def native_available() -> bool:
 
 
 _RLE_UID = "1.2.840.10008.1.2.5"
+_JPEGLL_UID = "1.2.840.10008.1.2.4.70"
 
 
-def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarray]:
-    """Walk the encapsulated item stream (Python: a few 8-byte headers)
-    and decode each frame with the C++ packbits decoder."""
+def jpegll_decode_frame(payload: bytes) -> Optional[np.ndarray]:
+    """Decode one JPEG-Lossless (process 14) frame payload via the C++
+    decoder (native/dicomlite.cpp dicom_jpegll_decode). Returns
+    (H, W) or (H, W, S) uint8/uint16, or None if the native library is
+    unavailable or the stream is not a decodable lossless JPEG."""
+    lib = _load()
+    if lib is None:
+        return None
+    # capacity guess from the SOF3 header is overkill; retry-on-capacity
+    # keeps the ABI simple (one frame is at most a few MB)
+    cap = max(len(payload) * 4, 1 << 20)
+    for _ in range(4):
+        out = np.empty(cap, np.uint16)
+        info = (ctypes.c_int32 * 4)()
+        got = lib.dicom_jpegll_decode(
+            payload, len(payload),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size,
+            info)
+        if got == -4:  # DICOM_E_CAPACITY
+            cap *= 8
+            continue
+        if got <= 0:
+            return None
+        rows, cols, ncomp, precision = (int(info[i]) for i in range(4))
+        arr = out[:got].reshape(rows, cols, ncomp)
+        if ncomp == 1:
+            arr = arr[..., 0]
+        return arr.astype(np.uint8) if precision <= 8 else arr.copy()
+    return None
+
+
+def _encapsulated_payloads(path: str, info: "_DicomInfo"):
+    """Yield the frame payloads of an encapsulated pixel-data stream
+    (Python walks a few 8-byte item headers; decode stays in C++).
+    Yields None once on malformed streams."""
     import struct
 
-    rows, cols = int(info.rows), int(info.cols)
-    samples = max(int(info.samples), 1)
-    frame_bytes = rows * cols * samples
     with open(path, "rb") as f:
         f.seek(int(info.pixel_data_offset))
         data = f.read(int(info.pixel_data_size))
-
-    frames = []
-    segcounts = (ctypes.c_int32 * 16)()
     pos = 0
     first = True
     while pos + 8 <= len(data):
@@ -97,12 +129,25 @@ def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarra
         if (group, elem) == (0xFFFE, 0xE0DD):
             break
         if (group, elem) != (0xFFFE, 0xE000):
-            return None
+            yield None
+            return
         payload = data[pos:pos + ilen]
         pos += ilen
         if first:
             first = False
             continue  # basic offset table (possibly empty)
+        yield payload
+
+
+def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarray]:
+    rows, cols = int(info.rows), int(info.cols)
+    samples = max(int(info.samples), 1)
+    frame_bytes = rows * cols * samples
+    frames = []
+    segcounts = (ctypes.c_int32 * 16)()
+    for payload in _encapsulated_payloads(path, info):
+        if payload is None:
+            return None
         out = np.empty(frame_bytes, np.uint8)
         got = lib.dicom_rle_decode(
             payload, len(payload),
@@ -114,6 +159,25 @@ def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarra
             frames.append(out.reshape(samples, rows, cols).transpose(1, 2, 0))
         else:
             frames.append(out.reshape(rows, cols))
+    if not frames:
+        return None
+    return np.stack(frames)
+
+
+def _decode_jpegll_stream(path: str, info: "_DicomInfo") -> Optional[np.ndarray]:
+    rows, cols = int(info.rows), int(info.cols)
+    samples = max(int(info.samples), 1)
+    frames = []
+    for payload in _encapsulated_payloads(path, info):
+        if payload is None:
+            return None
+        arr = jpegll_decode_frame(bytes(payload))
+        if arr is None:
+            return None
+        shape = (rows, cols) if samples == 1 else (rows, cols, samples)
+        if arr.shape != shape:
+            return None
+        frames.append(arr)
     if not frames:
         return None
     return np.stack(frames)
@@ -132,12 +196,16 @@ def native_read(path: str) -> Optional[Tuple[dict, np.ndarray]]:
     if info.bits not in (8, 16) or info.rows <= 0 or info.cols <= 0:
         return None
     if info.encapsulated:
-        # RLE rides the native packbits decoder; other encapsulated
-        # syntaxes (JPEG) stay on the cv2 fallback
+        # RLE rides the native packbits decoder and JPEG-Lossless the
+        # native process-14 decoder; other encapsulated syntaxes
+        # (baseline/extended JPEG) stay on the cv2 fallback
         ts = info.transfer_syntax.decode(errors="replace").strip("\x00 ")
-        if ts != _RLE_UID or info.bits != 8:
+        if ts == _RLE_UID and info.bits == 8:
+            arr = _decode_rle_stream(path, info, lib)
+        elif ts == _JPEGLL_UID:
+            arr = _decode_jpegll_stream(path, info)
+        else:
             return None
-        arr = _decode_rle_stream(path, info, lib)
         if arr is None:
             return None
         return _build_meta(info), np.ascontiguousarray(arr)

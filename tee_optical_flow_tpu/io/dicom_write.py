@@ -25,9 +25,117 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .dicom import EXPLICIT_VR_LE, RLE_LOSSLESS
+from .dicom import EXPLICIT_VR_LE, JPEG_LOSSLESS, RLE_LOSSLESS
 
 _LONG_LEN_VRS = (b"OB", b"OW", b"SQ", b"UN", b"UT")
+
+
+# --------------------------------------------------------------------------
+# JPEG Lossless (process 14, selection value 1) encoder — ITU-T T.81
+# Annex H. Deliberately independent of the C++ decoder in
+# native/dicomlite.cpp (dicom_jpegll_decode) so the round-trip tests
+# exercise two implementations of the spec against each other.
+# --------------------------------------------------------------------------
+
+# canonical DC Huffman table for difference categories 0..16:
+# BITS = 3 codes of length 2, then one code per length 3..16
+_JLL_BITS = bytes([0, 3] + [1] * 14)
+_JLL_VALS = bytes(range(17))
+
+
+def _jll_codes():
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = _JLL_BITS[length - 1]
+        for _ in range(n):
+            codes[_JLL_VALS[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc <<= (8 - self.nbits)
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _jll_marker(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def jpegll_encode_frame(frame: np.ndarray, precision: int = 8) -> bytes:
+    """Encode one (H, W) or (H, W, S) integer frame as a JPEG-Lossless
+    process-14 SV1 stream (interleaved components, point transform 0)."""
+    if frame.ndim == 2:
+        frame = frame[..., None]
+    h, w, s = frame.shape
+    frame = frame.astype(np.int64)
+
+    sof = struct.pack(">BHHB", precision, h, w, s)
+    for ci in range(s):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    dht = b"\x00" + _JLL_BITS + _JLL_VALS
+    sos = struct.pack(">B", s)
+    for ci in range(s):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += struct.pack(">BBB", 1, 0, 0)  # Ss=1 (SV1), Se=0, Ah<<4|Al=0
+
+    codes = _jll_codes()
+    bw = _BitWriter()
+    default_px = 1 << (precision - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(s):
+                if y == 0 and x == 0:
+                    px = default_px
+                elif y == 0:
+                    px = frame[y, x - 1, ci]      # Ra
+                elif x == 0:
+                    px = frame[y - 1, x, ci]      # Rb
+                else:
+                    px = frame[y, x - 1, ci]      # SV1: Ra
+                d = int(frame[y, x, ci] - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    ssss = 16
+                else:
+                    ssss = abs(d).bit_length()
+                code, length = codes[ssss]
+                bw.put(code, length)
+                if 0 < ssss < 16:
+                    v = d if d >= 0 else d + (1 << ssss) - 1
+                    bw.put(v & ((1 << ssss) - 1), ssss)
+    bw.flush()
+    return (b"\xff\xd8" + _jll_marker(0xFFC4, dht) +
+            _jll_marker(0xFFC3, sof) + _jll_marker(0xFFDA, sos) +
+            bytes(bw.out) + b"\xff\xd9")
 
 
 def encode_element(group: int, elem: int, vr: bytes, payload: bytes) -> bytes:
@@ -90,8 +198,9 @@ def write_dicom_clip(path: str, frames: np.ndarray, *,
                      transfer_syntax: str = "native") -> None:
     """Write a (N, H, W, 3) or (N, H, W) uint8 clip as a part-10 DICOM.
 
-    ``transfer_syntax``: 'native' (explicit VR LE, uncompressed) or
-    'rle' (RLE lossless encapsulation).
+    ``transfer_syntax``: 'native' (explicit VR LE, uncompressed),
+    'rle' (RLE lossless encapsulation), or 'jpeg_lossless'
+    (JPEG Lossless process 14 SV1, 1.2.840.10008.1.2.4.70).
     """
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     if frames.ndim == 3:
@@ -99,7 +208,8 @@ def write_dicom_clip(path: str, frames: np.ndarray, *,
         samples = 1
     else:
         n, h, w, samples = frames.shape
-    ts = RLE_LOSSLESS if transfer_syntax == "rle" else EXPLICIT_VR_LE
+    ts = {"rle": RLE_LOSSLESS, "jpeg_lossless": JPEG_LOSSLESS}.get(
+        transfer_syntax, EXPLICIT_VR_LE)
     meta = encode_element(0x0002, 0x0010, b"UI", ts.encode())
 
     # ultrasound-regions sequence: one defined-length item w/ PhysicalDeltaX
@@ -128,12 +238,14 @@ def write_dicom_clip(path: str, frames: np.ndarray, *,
         encode_element(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
     ]
 
-    if transfer_syntax == "rle":
+    if transfer_syntax in ("rle", "jpeg_lossless"):
         # encapsulated: undefined-length PixelData, empty offset table,
         # one item per frame, sequence delimiter
+        encode_frame = (_rle_frame if transfer_syntax == "rle"
+                        else jpegll_encode_frame)
         items = [struct.pack("<HHI", 0xFFFE, 0xE000, 0)]
         for i in range(n):
-            payload = _rle_frame(frames[i])
+            payload = encode_frame(frames[i])
             if len(payload) % 2:
                 payload += b"\x00"
             items.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(payload))

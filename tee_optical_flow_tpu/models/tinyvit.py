@@ -214,6 +214,13 @@ class TinyViT(nn.Module):
     mlp_ratio: float = 4.0
     neck_dim: int = 256
     adapter_stages: Sequence[int] = ()
+    # the stage whose trailing PatchMerging keeps resolution (stride 1):
+    # the reference keys this off the merge's OUTPUT dim
+    # (tiny_vit_sam.py:135-166: stride 1 iff out_dim in {320, 448, 576}),
+    # which for every reference variant is exactly the stage-2 merge. A
+    # module field (advisor r4) makes the policy visible and overridable
+    # for custom embed_dims instead of silently changing output stride.
+    keep_resolution_stage: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -240,10 +247,11 @@ class TinyViT(nn.Module):
                     self.mlp_ratio, use_adapter=(stage in self.adapter_stages),
                     dtype=self.dtype, name=f"stage{stage}_block{i}")(x, train)
             if stage < 3:
-                x = PatchMerging(self.embed_dims[stage + 1],
-                                 keep_resolution=(stage == 2),
-                                 dtype=self.dtype,
-                                 name=f"merge{stage}")(x, train)
+                x = PatchMerging(
+                    self.embed_dims[stage + 1],
+                    keep_resolution=(stage == self.keep_resolution_stage),
+                    dtype=self.dtype,
+                    name=f"merge{stage}")(x, train)
 
         # SAM neck: 1x1 -> LN -> 3x3 -> LN, to 256 channels at 64x64
         x = nn.Conv(self.neck_dim, (1, 1), use_bias=False, dtype=self.dtype,

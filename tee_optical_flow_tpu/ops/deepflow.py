@@ -155,30 +155,61 @@ def coarse_match(i0: jnp.ndarray, i1: jnp.ndarray, *, radius: int = 4,
     return uf, vf, conf
 
 
-def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
-                   alpha, delta, gamma, iters, match=None, beta=0.0,
-                   use_pallas=False):
-    """Fixed-point + Jacobi solve for the flow increment (du, dv)."""
+def _shifts4(f):
+    """(N, S, W, E) single-pixel shifts, edge-replicated: the border
+    neighbor is the pixel itself, so border-edge flux vanishes — the same
+    homogeneous-Neumann fixed point as the oracle's zeroed border
+    weights."""
+    p = jnp.pad(f, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    return (p[:, :-2, 1:-1], p[:, 2:, 1:-1],
+            p[:, 1:-1, :-2], p[:, 1:-1, 2:])
+
+
+def _checkerboard(shape):
+    yy = lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+    xx = lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return ((yy + xx) % 2) == 0
+
+
+def _sor_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
+                alpha, delta, gamma, psi_iters, sor_iters, omega,
+                match=None, beta=0.0, use_pallas=False):
+    """Fixed-point solve for the flow increment (du, dv): lagged
+    nonlinearity (psi) recomputes x red-black SOR sweeps.
+
+    Round 5: replaces the damped-Jacobi loop. Measured at 240x320 echo
+    (matching path, both-vs-converged-float64-oracle): damped Jacobi at
+    the old iters=25 left the low-data cavity under-converged (sector
+    p95 0.13-0.16 px vs the oracle's own 0.04 px convergence floor);
+    red-black SOR with omega=1.6 — the relaxation OpenCV's DeepFlow
+    itself runs (variational layer: sorIterations, omega=1.6) and the
+    float64 oracle's exact numerics (ops/deepflow_oracle.py) — reaches
+    the fixed point at production counts. Nesting, update order and
+    constants mirror deepflow_scale_oracle line for line."""
     it = i1w - i0                      # temporal intensity difference
     i0x, i0y = centered_gradient(i0)
     itx = i1wx - i0x                   # gradient-constancy temporal diffs
     ity = i1wy - i0y
 
     if use_pallas:
-        # whole-image VMEM-resident Jacobi loop (ops/deepflow_pallas.py);
+        # whole-image VMEM-resident solve (ops/deepflow_pallas.py);
         # it/itx/ity computed here in XLA where they fuse into the warp
-        from .deepflow_pallas import jacobi_sweeps_pallas
+        from .deepflow_pallas import sor_sweeps_pallas
 
-        return jacobi_sweeps_pallas(
+        return sor_sweeps_pallas(
             i1wx, i1wy, i1wxx, i1wxy, i1wyy, it, itx, ity, u0, v0, match,
-            iters=iters, alpha=alpha, delta=delta, gamma=gamma, beta=beta)
+            psi_iters=psi_iters, sor_iters=sor_iters, omega=omega,
+            alpha=alpha, delta=delta, gamma=gamma, beta=beta)
 
     du = jnp.zeros_like(u0)
     dv = jnp.zeros_like(v0)
+    red = _checkerboard(u0.shape)
+    if match is not None:
+        um, vm, conf = match
 
-    def body(_, carry):
+    def psi_body(_, carry):
         du, dv = carry
-        # data-term robust weights at current increment
+        # data-term robust weights, lagged at the current increment
         r_int = it + i1wx * du + i1wy * dv
         r_gx = itx + i1wxx * du + i1wxy * dv
         r_gy = ity + i1wxy * du + i1wyy * dv
@@ -192,35 +223,9 @@ def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
         b1 = -(psi_d * i1wx * it + psi_g * (i1wxx * itx + i1wxy * ity))
         b2 = -(psi_d * i1wy * it + psi_g * (i1wxy * itx + i1wyy * ity))
 
-        # smoothness: div(psi' grad w) with EDGE-AVERAGED diffusivities
-        # w_{i+1/2,j} = (psi'_i + psi'_{i+1})/2 — the textbook (and
-        # oracle's) discretization. Round 4: the previous central-weight
-        # approximation w_i * laplacian agreed with this only where psi'
-        # varies slowly, which speckle (echo content) violates — it was
-        # the dominant term of the deepflow echo EPE gap (VERDICT r3).
-        # Edge-padded shifts make the border neighbor the pixel itself,
-        # so border-edge flux vanishes — the same homogeneous-Neumann
-        # fixed point as the oracle's zeroed border weights.
-        w = _smoothness_weights(u0 + du, v0 + dv) * alpha
-
-        def shifts4(f):
-            p = jnp.pad(f, ((0, 0), (1, 1), (1, 1)), mode="edge")
-            return (p[:, :-2, 1:-1], p[:, 2:, 1:-1],
-                    p[:, 1:-1, :-2], p[:, 1:-1, 2:])
-
-        wn, ws, ww, we = ((0.5 * (w + s)) for s in shifts4(w))
-        wsum = wn + ws + ww + we
-        uf = u0 + du
-        vf = v0 + dv
-        un, us, uw, ue = shifts4(uf)
-        vn, vs, vw, ve = shifts4(vf)
-        su = wn * un + ws * us + ww * uw + we * ue - wsum * u0
-        sv = wn * vn + ws * vs + ww * vw + we * ve - wsum * v0
-
         # matching soft constraint: beta * conf * psi(|w - w_match|^2)
         # (DeepFlow's matching energy term, Weinzaepfel et al. eq. 2)
         if match is not None:
-            um, vm, conf = match
             ru = u0 + du - um
             rv = v0 + dv - vm
             a_m = beta * conf * _robust(ru * ru + rv * rv)
@@ -229,29 +234,59 @@ def _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
             b1 = b1 + a_m * (um - u0)
             b2 = b2 + a_m * (vm - v0)
 
-        # Jacobi update of the coupled 2x2 system per pixel
+        # smoothness: div(psi' grad w) with EDGE-AVERAGED diffusivities
+        # w_{i+1/2,j} = (psi'_i + psi'_{i+1})/2 — the textbook (and
+        # oracle's) discretization, lagged at the current increment
+        w = _smoothness_weights(u0 + du, v0 + dv) * alpha
+        wn, ws, ww, we = ((0.5 * (w + s)) for s in _shifts4(w))
+        wsum = wn + ws + ww + we
+        # constant part of the smoothness rhs: flux of the level's base
+        # flow across each edge (the du part updates inside the sweeps)
+        un, us, uw, ue = _shifts4(u0)
+        vn, vs, vw, ve = _shifts4(v0)
+        su0 = wn * un + ws * us + ww * uw + we * ue - wsum * u0
+        sv0 = wn * vn + ws * vs + ww * vw + we * ve - wsum * v0
+
         denom = (a11 + wsum) * (a22 + wsum) - a12 * a12
         denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
-        rhs1 = b1 + su
-        rhs2 = b2 + sv
-        du_new = ((a22 + wsum) * rhs1 - a12 * rhs2) / denom
-        dv_new = ((a11 + wsum) * rhs2 - a12 * rhs1) / denom
-        # damped update for stability
-        return 0.5 * (du + du_new), 0.5 * (dv + dv_new)
+        inv_denom = 1.0 / denom
+        rhs1c = b1 + su0
+        rhs2c = b2 + sv0
 
-    du, dv = lax.fori_loop(0, iters, body, (du, dv))
-    return du, dv
+        def half_sweep(du, dv, mask):
+            dn, ds_, dw, de = _shifts4(du)
+            dun = wn * dn + ws * ds_ + ww * dw + we * de
+            dn, ds_, dw, de = _shifts4(dv)
+            dvn = wn * dn + ws * ds_ + ww * dw + we * de
+            rhs1 = rhs1c + dun
+            rhs2 = rhs2c + dvn
+            du_star = ((a22 + wsum) * rhs1 - a12 * rhs2) * inv_denom
+            dv_star = ((a11 + wsum) * rhs2 - a12 * rhs1) * inv_denom
+            du = jnp.where(mask, (1.0 - omega) * du + omega * du_star, du)
+            dv = jnp.where(mask, (1.0 - omega) * dv + omega * dv_star, dv)
+            return du, dv
+
+        def sor_body(_, carry):
+            du, dv = carry
+            du, dv = half_sweep(du, dv, red)
+            du, dv = half_sweep(du, dv, ~red)
+            return du, dv
+
+        return lax.fori_loop(0, sor_iters, sor_body, (du, dv))
+
+    return lax.fori_loop(0, psi_iters, psi_body, (du, dv))
 
 
 @functools.partial(
     jax.jit, static_argnames=("alpha", "delta", "gamma", "nscales", "zoom",
-                              "iters", "matching", "match_radius", "beta",
-                              "fp_iters", "max_disp", "use_pallas",
-                              "interpolation"))
+                              "iters", "psi_iters", "omega", "matching",
+                              "match_radius", "beta", "fp_iters", "max_disp",
+                              "use_pallas", "interpolation"))
 def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                    alpha: float = 8.0, delta: float = 0.5, gamma: float = 5.0,
                    nscales: int = 5, zoom: float = 0.5,
-                   iters: int = 25, matching: bool = True,
+                   iters: int = 30, psi_iters: int = 5, omega: float = 1.6,
+                   matching: bool = True,
                    match_radius: int = 4, beta: float = 0.3,
                    fp_iters: int = 3, max_disp: int = 16,
                    use_pallas: bool = False,
@@ -262,9 +297,14 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     matches at the two coarsest pyramid levels feed the energy as a soft
     constraint of weight ``beta`` (0 disables; refinement only).
     ``fp_iters`` fixed-point (re-warping) iterations run per level;
+    ``psi_iters`` lagged-nonlinearity recomputes per fixed point and
+    ``iters`` red-black SOR sweeps (relaxation ``omega``) per psi round —
+    the nesting OpenCV's own DeepFlow runs (sorIterations, omega=1.6) and
+    the float64 oracle's exact numerics (round 5; the previous damped
+    Jacobi under-converged the low-data cavity).
     ``max_disp`` bounds the finest-level displacement for the shift warp.
-    ``use_pallas`` runs each level's Jacobi loop in the VMEM-resident
-    fused kernel (TPU only; levels that would not fit VMEM fall back).
+    ``use_pallas`` runs each level's solve in the VMEM-resident fused
+    kernel (TPU only; levels that would not fit VMEM fall back).
     ``interpolation`` picks the warp kernel + inter-level flow upsample:
     "bilinear" (hat shift-warps, the fast default) or "bicubic"
     (Catmull-Rom — the published algorithm's interpolator, same as
@@ -342,10 +382,11 @@ def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                 lvl_pallas = fits_vmem_jacobi(*shapes[lvl])
             else:
                 lvl_pallas = False
-            du, dv = _jacobi_sweeps(a0, *warped, u, v, alpha=alpha,
-                                    delta=delta, gamma=gamma, iters=iters,
-                                    match=match, beta=beta,
-                                    use_pallas=lvl_pallas)
+            du, dv = _sor_sweeps(a0, *warped, u, v, alpha=alpha,
+                                 delta=delta, gamma=gamma,
+                                 psi_iters=psi_iters, sor_iters=iters,
+                                 omega=omega, match=match, beta=beta,
+                                 use_pallas=lvl_pallas)
             u = u + du
             v = v + dv
         if lvl > 0:
@@ -365,13 +406,16 @@ def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.nda
 
     on_tpu = on_tpu_backend()
     params = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
-                  iters=25, matching=True, match_radius=4, beta=0.3,
+                  iters=30, psi_iters=5, omega=1.6,
+                  matching=True, match_radius=4, beta=0.3,
                   fp_iters=3, max_disp=16, use_pallas=on_tpu,
                   interpolation="bicubic")
     if config is not None:
         params.update(alpha=config.deepflow_alpha, delta=config.deepflow_delta,
                       gamma=config.deepflow_gamma,
                       iters=config.deepflow_iterations,
+                      psi_iters=config.deepflow_psi_iterations,
+                      omega=config.deepflow_omega,
                       nscales=config.deepflow_nscales,
                       matching=config.deepflow_matching,
                       match_radius=config.deepflow_match_radius,

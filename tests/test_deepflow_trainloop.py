@@ -175,12 +175,13 @@ def test_train_state_resume(tmp_path, rng):
     np.testing.assert_array_equal(state["trainable"]["w"], trainable["w"])
 
 
-def test_deepflow_pallas_jacobi_matches_xla_interpret(rng):
-    """Interpret-mode parity of the VMEM-resident Jacobi kernel vs the
-    XLA _jacobi_sweeps, with and without the matching soft constraint
-    (odd shape exercises the lane-padding masks)."""
-    from tee_optical_flow_tpu.ops.deepflow import _jacobi_sweeps
-    from tee_optical_flow_tpu.ops.deepflow_pallas import jacobi_sweeps_pallas
+def test_deepflow_pallas_sor_matches_xla_interpret(rng):
+    """Interpret-mode parity of the VMEM-resident psi x red-black-SOR
+    kernel vs the XLA _sor_sweeps, with and without the matching soft
+    constraint (odd shape exercises the lane-padding masks AND the
+    checkerboard parity over padded columns)."""
+    from tee_optical_flow_tpu.ops.deepflow import _sor_sweeps
+    from tee_optical_flow_tpu.ops.deepflow_pallas import sor_sweeps_pallas
     from tee_optical_flow_tpu.ops.warp import centered_gradient
 
     b, h, w = 2, 21, 37
@@ -194,7 +195,8 @@ def test_deepflow_pallas_jacobi_matches_xla_interpret(rng):
     u0, v0 = f(0.8), f(0.8)
     um, vm = f(1.0), f(1.0)
     conf = np.abs(f(1.0))
-    kw = dict(alpha=8.0, delta=0.5, gamma=5.0, iters=9)
+    kw = dict(alpha=8.0, delta=0.5, gamma=5.0, psi_iters=2, sor_iters=5,
+              omega=1.6)
 
     it = i1w - i0
     i0x, i0y = centered_gradient(i0)
@@ -202,9 +204,9 @@ def test_deepflow_pallas_jacobi_matches_xla_interpret(rng):
     ity = np.asarray(i1wy - np.asarray(i0y))
 
     for match in (None, (um, vm, conf)):
-        ref = _jacobi_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy,
-                             u0, v0, match=match, beta=0.3, **kw)
-        got = jacobi_sweeps_pallas(
+        ref = _sor_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy,
+                          u0, v0, match=match, beta=0.3, **kw)
+        got = sor_sweeps_pallas(
             i1wx, i1wy, i1wxx, i1wxy, i1wyy, it, itx, ity, u0, v0,
             match, beta=0.3, interpret=True, **kw)
         tag = "match" if match is not None else "plain"

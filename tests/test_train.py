@@ -270,6 +270,59 @@ def test_train_step_multidevice(mini_sam_builder, finetune_type):
     assert np.isfinite(float(l)) and 0.0 <= float(d) <= 1.0
 
 
+def test_default_heads_by_dim_covers_vit_t(tiny_sam):
+    """merge_lora's default heads_by_dim must cover every fused-qkv dim of
+    the PRODUCTION vit_t arch (advisor r4: a width-dependent LoRA-merge
+    regression specific to vit_t dims must not hide behind the mini-arch
+    multidevice tests)."""
+    model, variables = tiny_sam
+    params = variables["params"]
+    lora = init_lora(params, rank=2, seed=0)
+    defaults = {128: 4, 160: 5, 320: 10}
+    fused_dims = set()
+    flatp = {"/".join(str(k.key) for k in path): leaf
+             for path, leaf in jax.tree_util.tree_leaves_with_path(
+                 params, is_leaf=lambda x: not isinstance(x, dict))}
+    for name, fac in lora.items():
+        if "a_q" in fac:
+            kernel = flatp[name + "/kernel"]
+            fused_dims.add(int(kernel.shape[0]))
+    assert fused_dims, "vit_t LoRA surgery found no fused-qkv kernels"
+    missing = fused_dims - set(defaults)
+    assert not missing, f"default heads_by_dim misses dims {missing}"
+    # and the default-map merge actually runs on the production widths
+    merged = merge_lora(params, lora)
+    assert len(jax.tree_util.tree_leaves(merged)) == \
+        len(jax.tree_util.tree_leaves(params))
+
+
+@pytest.mark.slow
+def test_train_step_multidevice_vit_t(tiny_sam):
+    """One DP train step on the 8-device mesh with the PRODUCTION vit_t
+    widths (embed_dims 64/128/160/320, default heads_by_dim) — the mini
+    arch above cannot catch width-dependent partitioning or LoRA-merge
+    regressions (advisor r4). image_size stays 64 to keep it a smoke."""
+    model, variables = tiny_sam
+    cfg = TrainConfig(num_cls=3, image_size=IMG, out_size=IMG // 4, b=8,
+                      lr=1e-3, warmup_period=2, epochs=1,
+                      finetune_type="lora")
+    mesh = make_mesh()
+    runtime = build_runtime(cfg, steps_per_epoch=2, mesh=mesh)
+    lora_params = init_lora(variables["params"], rank=2, seed=0)
+    init_state, train_step = make_train_step(
+        model, runtime, finetune_type="lora", lora_merge=merge_lora)
+    trainable, frozen, batch_stats, opt_state = init_state(
+        variables, lora_params)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, IMG, IMG, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(8, IMG // 4, IMG // 4)).astype(np.int32)
+    trainable, batch_stats, opt_state, metrics = train_step(
+        trainable, frozen, batch_stats, opt_state,
+        jnp.asarray(images), jnp.asarray(labels))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_initialize_distributed(monkeypatch):
     """Single-process is a no-op; multi-process forwards the coordinator
     rendezvous to jax.distributed.initialize (the gloo init_process_group
