@@ -108,6 +108,101 @@ def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
                       "vs_baseline": vs_baseline, **extra}), flush=True)
 
 
+# v5e per-chip peaks for the roofline lines (public spec: 197 bf16
+# TFLOP/s MXU, 819 GB/s HBM). The f32 flow solvers run on the VPU, whose
+# practical ceiling for their roll/select/rsqrt mix was profiled at
+# ~260 Gop/s in round 2 (NOTES: xplane trace, both kernel classes
+# saturate it); XLA cost-analysis flops undercount that mix (rolls and
+# selects are not flops), so solver pct-of-VPU uses the profiled number
+# with that provenance stated.
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+V5E_VPU_PRACTICAL_GOPS = 260.0
+
+
+def _xla_cost(fn, *args) -> tuple:
+    """(flops, bytes_accessed) from XLA's own cost model of the compiled
+    executable — lower + compile only, never executed."""
+    import jax
+
+    c = jax.jit(fn).lower(*args).compile()
+    ca = c.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _cost_analysis_main() -> None:
+    """--cost-analysis submode (run in a CPU subprocess): XLA-counted
+    flops/bytes per frame-pair (flow solvers, batch 1, 480x640, XLA path
+    — same arithmetic the Pallas kernels run) and per frame (SAM vit_t
+    bf16 at 1024^2). Prints one JSON object."""
+    import jax.numpy as jnp
+
+    from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
+    from tee_optical_flow_tpu.ops.tvl1 import tvl1_flow_pairs
+
+    h, w = 480, 640
+    pair = (jnp.zeros((1, h, w), jnp.float32),) * 2
+    out = {}
+    fl, by = _xla_cost(
+        lambda a, b: tvl1_flow_pairs(a, b, use_pallas=False,
+                                     **SOLVER_PARAMS), *pair)
+    out["tvl1_flops_per_pair"] = fl
+    out["tvl1_bytes_per_pair"] = by
+    fl, by = _xla_cost(
+        lambda a, b: deepflow_pairs(a, b, use_pallas=False,
+                                    interpolation="bicubic"), *pair)
+    out["deepflow_flops_per_pair"] = fl
+    out["deepflow_bytes_per_pair"] = by
+
+    from tee_optical_flow_tpu.models.registry import sam_model_registry
+
+    model, variables = sam_model_registry["vit_t"](num_classes=3,
+                                                   dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    fl, by = _xla_cost(
+        lambda img: model.apply(variables, img, multimask_output=True)[0], x)
+    out["sam_flops_per_frame_1024"] = fl
+    out["sam_bytes_per_frame_1024"] = by
+    print("COST_ANALYSIS " + json.dumps(out), flush=True)
+
+
+def _cost_numbers() -> dict:
+    """XLA-counted per-item flops/bytes, via a CPU subprocess (compile
+    only). Cached in /tmp keyed by the repo commit — the counts change
+    only when the source does."""
+    import subprocess
+
+    try:
+        key = subprocess.run(["git", "-C", os.path.dirname(__file__) or ".",
+                              "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        key = "unknown"
+    cache = f"/tmp/tee_bench_cost_{key}.json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--cost-analysis"], capture_output=True,
+                           text=True, timeout=1200, env=env)
+        for line in r.stdout.splitlines():
+            if line.startswith("COST_ANALYSIS "):
+                out = json.loads(line[len("COST_ANALYSIS "):])
+                with open(cache, "w") as f:
+                    json.dump(out, f)
+                return out
+        print(f"# cost-analysis subprocess produced no result "
+              f"(rc={r.returncode}): {r.stderr[-300:]}", flush=True)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"# cost-analysis subprocess failed: {exc!r}", flush=True)
+    return {}
+
+
 def _link_MBps(reps: int = 3) -> float:
     """Host<->device link bandwidth via a fixed 32 MB f32 round trip
     (best of ``reps``). The e2e s/clip metrics move 1.6-4.5x with tunnel
@@ -247,6 +342,214 @@ def _make_analysis_hdf5(path: str, n: int, h: int, w: int) -> None:
                            heart_rate=78)
 
 
+def _emit_rooflines(model, variables, frames: np.ndarray) -> None:
+    """Per-stage achieved-throughput lines against named peaks
+    (VERDICT r4 next #5): the driver can now judge the 'layout/VPU-bound'
+    claims from BENCH numbers instead of NOTES prose.
+
+    - ``sam_encoder_roofline``: device-resident vit_t bf16 forward at
+      1024^2 mb=4 (compute only; the e2e lines include the link), flops
+      from XLA's own cost model of the identical graph -> TF/s and
+      %-of-v5e-bf16-peak.
+    - ``tvl1_warp_roofline``: the production finest-level 3-field bicubic
+      shift-warp (the measured cost center: NOTES round-4 decomposition
+      put the 25 warp stages at 324 ms of the 375 ms solve floor), with
+      an analytic op count -> Gop/s vs the profiled ~260 Gop/s practical
+      VPU ceiling. The iteration stages are convergence-dependent under
+      the epsilon early stop and are NOT counted statically — the warp
+      line plus the solve total is the checkable decomposition.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cost = _cost_numbers()
+
+        # SAM encoder: device-resident forward, micro-batch 4
+        fwd = jax.jit(lambda img: model.apply(
+            variables, img, multimask_output=True)[0].astype(jnp.float32))
+        x = jax.device_put(
+            np.zeros((4, 1024, 1024, 3), np.float32))
+        float(jnp.sum(fwd(x)))  # compile + warm
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(fwd(x)))
+        dt = (time.perf_counter() - t0) / reps
+        sam_fps = 4 / dt
+        _SUMMARY["sam_vit_t_device_fps"] = round(sam_fps, 1)
+        fl = cost.get("sam_flops_per_frame_1024")
+        if fl:
+            tfs = fl * sam_fps / 1e12
+            emit("sam_encoder_roofline", round(tfs, 2), "TF/s",
+                 frames_per_s=round(sam_fps, 1),
+                 flops_per_frame=fl,
+                 pct_v5e_bf16_peak=round(100 * tfs / V5E_BF16_TFLOPS, 1),
+                 note="vit_t bf16 mb=4 at 1024^2, device-resident; flops "
+                      "= XLA cost model of the identical graph (CPU "
+                      "lowering, cached per commit). Low MFU is "
+                      "structural at vit_t scale: the mb=4 xplane "
+                      "profile shows no dominant op (NOTES round 3) — "
+                      "window-attn softmax/LayerNorm convert chains and "
+                      "weight prefetch, each <5%")
+
+        # TV-L1 warp stage: finest level, 3 fields, bicubic, 16 pairs
+        from tee_optical_flow_tpu.ops.warp import (
+            centered_gradient, warp_many_shift_tiled2d,
+        )
+
+        i1 = jnp.asarray(frames[1:])
+        i1x, i1y = centered_gradient(i1)
+        b, h, w = i1.shape
+        yy = np.linspace(-1, 1, h, dtype=np.float32)[None, :, None]
+        xx = np.linspace(-1, 1, w, dtype=np.float32)[None, None, :]
+        u = jnp.asarray(3.0 * xx * np.ones((b, h, w), np.float32))
+        v = jnp.asarray(3.0 * yy * np.ones((b, h, w), np.float32))
+
+        warp = jax.jit(lambda a, ax, ay, uu, vv: warp_many_shift_tiled2d(
+            (a, ax, ay), uu, vv, max_disp=16, local_r=8, kernel="bicubic"))
+        float(jnp.sum(jnp.abs(warp(i1, i1x, i1y, u, v)[0])))
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(jnp.abs(warp(i1, i1x, i1y, u, v)[0])))
+        wdt = (time.perf_counter() - t0) / reps
+        _SUMMARY["tvl1_warp_stage_ms"] = round(wdt * 1e3, 2)
+        # analytic op count of the separable shift-sum, documented and
+        # conservative: per axis pass, (2*local_r + 4) bicubic taps; per
+        # tap per pixel, a Catmull-Rom weight eval (~6 flops) + 3 fields
+        # x multiply-accumulate (2 flops)
+        ntaps = 2 * 8 + 4
+        flops_px = 2 * ntaps * (6 + 3 * 2)
+        gops = b * h * w * flops_px * 1e-9
+        eff = gops / wdt
+        emit("tvl1_warp_roofline", round(eff, 1), "Gop/s",
+             stage_ms=round(wdt * 1e3, 2),
+             gpix_per_s=round(b * h * w * 3 / wdt / 1e9, 2),
+             flops_per_pixel=flops_px,
+             pct_vpu_practical=round(100 * eff / V5E_VPU_PRACTICAL_GOPS, 1),
+             note="finest-level 3-field bicubic shift-warp, 16 pairs "
+                  "480x640 (25 such stages across the pyramid are the "
+                  "solve's cost center); op count = 2 axes x (2r+4) "
+                  "taps x (weight ~6 + 3 fields x FMA), conservative. "
+                  "VPU ceiling provenance: round-2 xplane profile "
+                  "(~260 Gop/s for this roll/select mix)")
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"# roofline section failed: {exc!r}", flush=True)
+
+
+_README = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "README.md")
+_RECORDS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BEST.json")
+# metric -> (README label, lower-is-better, note)
+_README_ROWS = [
+    ("tvl1_flow_frames_per_sec_per_chip_480x640", "TV-L1 dense flow",
+     False, "production defaults = OpenCV DualTVL1 defaults exactly "
+            "(5 scales @0.8, 5 warps, 10x30 budget with epsilon=0.01 "
+            "early stop, lambda 0.15, 5x5 median, bicubic warps); "
+            "frames/s"),
+    ("tvl1_bilinear_frames_per_sec_per_chip_480x640",
+     "TV-L1 bilinear fast mode", False, "interpolation='bilinear'; "
+     "frames/s"),
+    ("deepflow_frames_per_sec_per_chip_480x640", "DeepFlow backend",
+     False, "red-black SOR (omega=1.6) + NCC matching + bicubic warps; "
+            "frames/s"),
+    ("sam_vit_t_device_fps", "SAM vit_t segmentation", False,
+     "1024^2 bf16 mb=4, device-resident frames/s (e2e is link-bound on "
+     "this host)"),
+    ("dicom_to_hdf5_clip_seconds_steady_state_33f_480x640",
+     "DICOM -> HDF5 end to end", True, "33f clip: RLE decode + otsu "
+     "masks + full TV-L1 + gzip-9 write; s/clip steady state"),
+    ("sam_tvl1_clip_seconds_steady_state_33f_480x640",
+     "SAM + TV-L1 end to end", True, "vit_t RVIO_2class masks + "
+     "full-settings flow; s/clip steady state"),
+    ("gated_radlong_analysis_seconds_per_clip", "Gated radlong analysis",
+     True, "ECG+arterial gating -> peak stats + plots -> 69-value row; "
+           "s/clip"),
+    ("batch_wase_saliency_seconds_per_clip", "Batch (WASE + saliency)",
+     True, "4-clip process_folder, nchunks=2 serial; s/clip amortized"),
+]
+
+
+def _update_bench_records(link) -> dict:
+    """Track the best value ever measured per metric (with its link
+    state) in BENCH_BEST.json, so the README can dual-report
+    {this run, best observed @ link} instead of hand-kept numbers that
+    drift (VERDICT r4 next #3)."""
+    try:
+        with open(_RECORDS) as f:
+            records = json.load(f)
+    except Exception:
+        records = {}
+    for metric, _, lower, _ in _README_ROWS:
+        if metric not in _SUMMARY:
+            continue
+        val = _SUMMARY[metric]
+        old = records.get(metric)
+        better = (old is None or
+                  (val < old["value"] if lower else val > old["value"]))
+        if better:
+            records[metric] = {"value": val, "link_MBps": link}
+    try:
+        with open(_RECORDS, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# could not write {_RECORDS}: {exc}", flush=True)
+    return records
+
+
+def _update_readme(link) -> None:
+    """Regenerate the README performance table from THIS run's measured
+    numbers between the BENCH markers — the table can no longer drift
+    from what `python bench.py` reproduces."""
+    records = _update_bench_records(link)
+    lines = [
+        "<!-- BENCH:BEGIN — generated by `python bench.py`; do not edit "
+        "by hand -->",
+        "## Performance (one TPU v5e chip, 480x640 TEE resolution)",
+        "",
+        f"Measured this run at host-device link {link} MB/s (the e2e "
+        "s/clip rows scale with link state; solver frames/s rows are "
+        "stable). \"Best\" is the best value `python bench.py` has ever "
+        "measured, with the link state it was measured at.",
+        "",
+        "| Metric | This run | Best (link MB/s) | Notes |",
+        "|---|---|---|---|",
+    ]
+    for metric, label, _, note in _README_ROWS:
+        if metric not in _SUMMARY:
+            continue
+        rec = records.get(metric, {})
+        best = (f"{rec.get('value')} ({rec.get('link_MBps') or 'link unrecorded'})"
+                if rec else "-")
+        lines.append(f"| {label} | {_SUMMARY[metric]} | {best} | {note} |")
+    lines += [
+        "",
+        "Accuracy against the reference algorithms is pinned by "
+        "`epe_report.py` (float64 IPOL TV-L1 + Brox/DeepFlow oracles); "
+        "see the latest `EPE_r*.json` headline. CPU baselines are this "
+        "solver's own XLA-on-one-core run (OpenCV itself is not "
+        "installable in the build environment; provenance labels ride "
+        "every JSON line).",
+        "<!-- BENCH:END -->",
+    ]
+    block = "\n".join(lines)
+    try:
+        with open(_README) as f:
+            text = f.read()
+        begin = text.index("<!-- BENCH:BEGIN")
+        end = text.index("<!-- BENCH:END -->") + len("<!-- BENCH:END -->")
+        with open(_README, "w") as f:
+            f.write(text[:begin] + block + text[end:])
+        print("# README performance table regenerated", flush=True)
+    except ValueError:
+        print("# README BENCH markers not found; table not regenerated",
+              flush=True)
+    except OSError as exc:
+        print(f"# could not rewrite README: {exc}", flush=True)
+
+
 def _epsilon_canary(on_tpu: bool) -> bool:
     """Compile-check the epsilon early-stop path on a tiny pair before any
     headline run. The predicated Pallas kernel (tvl1_pallas epsilon>0) is
@@ -278,6 +581,10 @@ def main() -> None:
     # hundreds of expected per-frame peak-detection warnings on synthetic
     # data, which truncated configs 1/3 out of BENCH_r03's recorded tail
     logging.getLogger("tee_optical_flow_tpu").setLevel(logging.CRITICAL)
+
+    if "--cost-analysis" in sys.argv:
+        _cost_analysis_main()
+        return
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if not _epsilon_canary(on_tpu):
@@ -432,9 +739,12 @@ def main() -> None:
                  vs_baseline=round(df_fps / RECORDED_CPU_DEEPFLOW_FPS, 1),
                  baseline=BASELINE_PROVENANCE +
                  "; OpenCV-CPU DeepFlow not installable here",
-                 note="round-4 production defaults: edge-averaged "
-                      "diffusivities + bicubic warps (CPU baseline "
-                      "re-measured with both)")
+                 note="round-5 production defaults: red-black SOR "
+                      "(omega=1.6, OpenCV DeepFlow's own relaxation) + "
+                      "edge-averaged diffusivities + bicubic warps")
+
+            # --- roofline / MFU per stage (VERDICT r4 next #5) ---
+            _emit_rooflines(model, variables, frames)
 
     # --- context: TV-L1 in the bilinear fast mode (gather-free hat
     # shift-warps; the round-2 headline protocol's interpolator) ---
@@ -457,17 +767,40 @@ def main() -> None:
     # one compact line with EVERY config's number, immediately before the
     # headline, so all five BASELINE configs survive any tail truncation
     _SUMMARY["tvl1_flow_frames_per_sec_per_chip_480x640"] = round(fps, 3)
+    if on_tpu:
+        # regenerate the README table BEFORE the final JSON lines so the
+        # driver's last-line headline contract is preserved
+        _update_readme(link)
     print(json.dumps({"metric": "bench_summary_all_configs",
                       "value": round(fps, 3), "unit": "frames/s",
                       "vs_baseline": round(fps / RECORDED_CPU_BASELINE_FPS, 1),
                       "all": _SUMMARY}), flush=True)
 
+    extra = {}
+    wms = _SUMMARY.get("tvl1_warp_stage_ms")
+    if wms:
+        # warp-bound decomposition (VERDICT r4 next #2): the solver runs
+        # warps x nscales = 25 shift-warp stages; level l has 0.8^(2l) of
+        # the finest level's pixels, so the pyramid sums to
+        # sum(0.64^l) = 2.47x the measured finest-stage cost per warp
+        # sweep. With the epsilon early stop the iteration stages are
+        # near-free (round-4 decomposition: 12-30 ms of the 375 ms
+        # production solve), so warp share ~= warp-bound share.
+        est_warp_ms = 5 * sum(0.64 ** l for l in range(5)) * wms
+        solve_ms = (n_frames - 1) / fps * 1e3
+        extra = {"solve_ms_per_16_pairs": round(solve_ms, 1),
+                 "est_warp_ms_per_solve": round(est_warp_ms, 1),
+                 "warp_bound_share": round(est_warp_ms / solve_ms, 2)}
     emit("tvl1_flow_frames_per_sec_per_chip_480x640", round(fps, 3),
          "frames/s", vs_baseline=round(fps / RECORDED_CPU_BASELINE_FPS, 1),
          baseline=BASELINE_PROVENANCE, opencv_cpu_fps=None,
          note="production defaults = OpenCV DualTVL1 defaults exactly: "
               "eps=0.01 early stop + bicubic warps; throughput is "
-              "convergence/content-dependent like OpenCV's")
+              "convergence/content-dependent like OpenCV's. The "
+              "tvl1_warp_roofline line + warp_bound_share substantiate "
+              "that the headline is warp-compute-bound at the VPU "
+              "ceiling (the round-4 50 fps attempt's negative result)",
+         **extra)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,21 @@ SETTINGS = dict(lam=0.15, tau=0.25, theta=0.3, nscales=5, zoom=0.8,
                 warps=5, outer_iters=10, inner_iters=30)
 DF_SETTINGS = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5)
 
+
+def _df_prod_counts() -> dict:
+    """The shipped DeepFlow iteration schedule, read from config so the
+    report can never drift from production: fp x psi x red-black SOR
+    sweeps at omega (round 5 — the solver now runs the oracle's exact
+    numerics, so solver-vs-oracle at these counts is a matched-iteration
+    protocol like TV-L1's eps=0)."""
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+
+    c = OpticalFlowCalculationConfig()
+    return dict(fp_iters=c.deepflow_fp_iterations,
+                psi_iters=c.deepflow_psi_iterations,
+                sor_iters=c.deepflow_iterations,
+                omega=c.deepflow_omega)
+
 INTERIOR = 8  # px border band excluded everywhere
 
 
@@ -173,12 +188,20 @@ def _backend_matches(i0, i1, match_radius: int = 4, beta: float = 0.3):
 
 
 def compare_pair_deepflow(i0, i1, use_pallas: bool, masks=None,
-                          matching: bool = False) -> dict:
-    """Backend vs oracle. ``matching=False`` compares the pure
-    variational solves; ``matching=True`` runs the backend's full
-    production path (cost-volume matches + seed) and feeds the oracle
-    the backend's own matches, so both minimize the same constrained
-    energy."""
+                          matching: bool = False,
+                          converged_floor: bool = False) -> dict:
+    """Backend vs oracle at MATCHED iteration counts (the production
+    schedule from config — deterministic protocol, like TV-L1's eps=0).
+    ``matching=False`` compares the pure variational solves;
+    ``matching=True`` runs the backend's full production path
+    (cost-volume matches + seed) and feeds the oracle the backend's own
+    matches, so both minimize the same constrained energy.
+
+    ``converged_floor=True`` additionally solves the oracle at 4x depth
+    (psi=10, sor=120): ``convergence_noise_floor`` = EPE(oracle@prod,
+    oracle@converged) is the production schedule's own truncation
+    uncertainty, and ``solver_vs_converged`` measures the backend
+    against the energy's actual fixed point."""
     import jax.numpy as jnp
 
     from tee_optical_flow_tpu.ops.deepflow import deepflow_pairs
@@ -186,7 +209,8 @@ def compare_pair_deepflow(i0, i1, use_pallas: bool, masks=None,
         deepflow_flow_oracle, epe,
     )
 
-    okw = dict(fp_iters=3, psi_iters=5, sor_iters=30, **DF_SETTINGS)
+    counts = _df_prod_counts()
+    okw = dict(**counts, **DF_SETTINGS)
     if matching:
         okw["matches"], okw["init"] = _backend_matches(i0, i1)
         okw["beta"] = 0.3
@@ -194,16 +218,32 @@ def compare_pair_deepflow(i0, i1, use_pallas: bool, masks=None,
     golden = deepflow_flow_oracle(i0, i1, **okw)
     t_oracle = time.perf_counter() - t0
 
-    kw = dict(iters=25, fp_iters=3, matching=matching,
-              use_pallas=use_pallas, interpolation="bicubic",
-              **{k: v for k, v in DF_SETTINGS.items()})
+    kw = dict(iters=counts["sor_iters"], psi_iters=counts["psi_iters"],
+              omega=counts["omega"], fp_iters=counts["fp_iters"],
+              matching=matching, use_pallas=use_pallas,
+              interpolation="bicubic", **DF_SETTINGS)
     deepflow_pairs(jnp.asarray(i0[None]), jnp.asarray(i1[None]),
                    **kw).block_until_ready()
     t0 = time.perf_counter()
     ours = np.asarray(deepflow_pairs(
         jnp.asarray(i0[None]), jnp.asarray(i1[None]), **kw))[0]
     t_solver = time.perf_counter() - t0
-    return _case_report(epe(ours, golden), masks, t_oracle, t_solver)
+    rep = _case_report(epe(ours, golden), masks, t_oracle, t_solver)
+
+    if converged_floor:
+        deep_kw = {**okw, "psi_iters": 10, "sor_iters": 120}
+        t0 = time.perf_counter()
+        deep = deepflow_flow_oracle(i0, i1, **deep_kw)
+        t_deep = time.perf_counter() - t0
+        floor = _case_report(epe(golden, deep), masks, 0.0, 0.0)
+        conv = _case_report(epe(ours, deep), masks, t_deep, t_solver)
+        for r in (floor, conv):
+            r.pop("oracle_seconds", None)
+            r.pop("solver_seconds", None)
+        conv["oracle_deep_seconds"] = round(t_deep, 1)
+        rep["convergence_noise_floor"] = floor
+        rep["solver_vs_converged"] = conv
+    return rep
 
 
 def _case_report(err, masks, t_oracle, t_solver) -> dict:
@@ -309,8 +349,12 @@ def main() -> None:
                                     contraction=0.03 + 0.02 * k)
             df_cases[f"echo_{k}"] = compare_pair_deepflow(
                 i0, i1, use_pallas, masks=echo_masks)
+            # the production path on the contract-bearing content also
+            # measures the 4x-depth converged oracle: the floor + the
+            # solver's distance to the energy's actual fixed point
             df_match_cases[f"echo_{k}"] = compare_pair_deepflow(
-                i0, i1, use_pallas, masks=echo_masks, matching=True)
+                i0, i1, use_pallas, masks=echo_masks, matching=True,
+                converged_floor=True)
             print(f"deepflow echo_{k}: {df_cases[f'echo_{k}']} "
                   f"matching: {df_match_cases[f'echo_{k}']}", flush=True)
 
@@ -360,6 +404,17 @@ def main() -> None:
                 if sec.get("sector_p95_within_stopping_noise")
                 else "sector target NOT met (exceeds the floor)")
         sec["status"] = "; ".join(status) if status else None
+        return sec
+
+    def _df_section(case_dict):
+        sec = _section(case_dict)
+        conv = [c["solver_vs_converged"]["sector"]["p95_px"]
+                for c in case_dict.values()
+                if "solver_vs_converged" in c
+                and "sector" in c["solver_vs_converged"]]
+        if conv:
+            sec["worst_sector_p95_vs_converged_oracle_px"] = max(conv)
+            sec["sector_p95_vs_converged_met"] = bool(max(conv) < 0.1)
         return sec
 
     def _section(case_dict):
@@ -457,8 +512,12 @@ def main() -> None:
         "deepflow_cases": df_cases,
         # the production DeepFlow path: backend matching + seed enabled,
         # the backend's own cost-volume matches fed to the oracle so both
-        # minimize the identical constrained energy
-        "deepflow_matching": _section(df_match_cases),
+        # minimize the identical constrained energy, at MATCHED iteration
+        # counts (the shipped fp x psi x SOR schedule — round 5). The
+        # echo cases also carry convergence_noise_floor (oracle@prod vs
+        # oracle@4x-depth) and solver_vs_converged (backend vs the
+        # energy's fixed point).
+        "deepflow_matching": _df_section(df_match_cases),
     }
     # surface the production floor verdict at top level: if the shipped
     # config misses the raw <0.1 px sector threshold, a reader must see

@@ -194,6 +194,21 @@ def convert_prompt_encoder(sd, params, prefix="prompt_encoder.",
          _t(sd[prefix + "mask_downscaling.6.bias"]))
 
 
+def convert_prompt_autoencoder(sd, params, prefix="prompt_autoencoder.",
+                               fprefix=("prompt_autoencoder",)):
+    """torch PromptAutoEncoder (reference prompt_encoder.py:50-100,
+    unused by any pipeline) -> Flax PromptAutoEncoder: the
+    image_downscaling Sequential's conv/LN indices 0/1/3/4/6."""
+    for t_idx, f_name in ((0, "down_conv1"), (3, "down_conv2"),
+                          (6, "down_conv3")):
+        _set(params, fprefix + (f_name, "kernel"),
+             _conv(sd[f"{prefix}image_downscaling.{t_idx}.weight"]))
+        _set(params, fprefix + (f_name, "bias"),
+             _t(sd[f"{prefix}image_downscaling.{t_idx}.bias"]))
+    _ln2d(params, prefix + "image_downscaling.1", fprefix + ("down_ln1",), sd)
+    _ln2d(params, prefix + "image_downscaling.4", fprefix + ("down_ln2",), sd)
+
+
 def _attention(sd, params, tbase, fbase):
     for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
         _linear(params, f"{tbase}.{proj}", fbase + (proj,), sd)

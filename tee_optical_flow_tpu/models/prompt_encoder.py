@@ -47,6 +47,41 @@ class PositionEmbeddingRandom(nn.Module):
         return self(grid)
 
 
+class PromptAutoEncoder(nn.Module):
+    """Image-conditioned prompt embeddings — API parity with the
+    reference's unused ``PromptAutoEncoder`` (prompt_encoder.py:50-100):
+    a small conv stack downsamples the image itself into the dense
+    embedding (replacing hand prompts), sparse embeddings are empty.
+
+    Faithful quirks mirrored from the torch module: the first 3x3 conv
+    has NO padding (spatial shrinks by 2 before the stride-4 conv, so a
+    1024^2 input yields a 255^2 dense grid, not 256^2 — the module is
+    not wired into any reference pipeline), and the sparse output is a
+    zero-width tensor.
+    """
+
+    image_embedding_size: Tuple[int, int] = (64, 64)
+    input_image_size: Tuple[int, int] = (1024, 1024)
+    mask_in_chans: int = 16
+    embed_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        """images (B, H, W, C) -> (sparse (B, 0, D), dense (B, h', w', D))."""
+        x = nn.Conv(self.mask_in_chans // 4, (3, 3), padding="VALID",
+                    dtype=self.dtype, name="down_conv1")(images)
+        x = gelu(LayerNorm2d(name="down_ln1")(x))
+        x = nn.Conv(self.mask_in_chans, (4, 4), strides=(4, 4),
+                    padding="VALID", dtype=self.dtype, name="down_conv2")(x)
+        x = gelu(LayerNorm2d(name="down_ln2")(x))
+        dense = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype,
+                        name="down_conv3")(x)
+        sparse = jnp.zeros((images.shape[0], 0, self.embed_dim),
+                           jnp.float32)
+        return sparse, dense
+
+
 class PromptEncoder(nn.Module):
     embed_dim: int = 256
     image_embedding_size: Tuple[int, int] = (64, 64)

@@ -181,6 +181,11 @@ def make_train_step(model, runtime: TrainConfigRuntime, *,
         return _jitted(trainable, frozen, batch_stats, opt_state, images,
                        labels, boxes)
 
+    # the raw jitted step, for compile-only validation at production
+    # shapes (lower + memory analysis without executing — __graft_entry__
+    # dryrun_multichip's 1024^2 TP check)
+    train_step.jitted = _jitted
+
     def init_state(variables, lora_params=None):
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -298,6 +303,11 @@ def train_model(model, variables, train_batches: Callable[[], Iterable],
             safe_makedir(os.path.join(cfg.dir_checkpoint, "log"))
             writer = SummaryWriter(os.path.join(cfg.dir_checkpoint, "log"))
         except Exception:
+            # declared as the 'tensorboard' extra (pyproject); training
+            # is unaffected, only the tfevents artifact is skipped
+            logger.warning(
+                "tensorboardX unavailable — no tensorboard scalars will "
+                "be written (pip install tee-optical-flow-tpu[tensorboard])")
             writer = None
 
     best_dsc = -1.0

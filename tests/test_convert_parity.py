@@ -213,6 +213,44 @@ def test_prompt_and_decoder_parity():
     np.testing.assert_allclose(np.asarray(iou_f), iou_t.detach().numpy(), atol=5e-4)
 
 
+def test_prompt_autoencoder_parity():
+    """PromptAutoEncoder (reference prompt_encoder.py:50-100 — unused by
+    any pipeline, but API surface in the zoo; VERDICT r4 #9): torch
+    random-init -> convert -> numeric parity of the dense embedding,
+    including the module's valid-padding quirks (66^2 in -> 16^2 out)."""
+    import jax
+    import jax.numpy as jnp
+    from models.sam.modeling.prompt_encoder import (
+        PromptAutoEncoder as TorchPAE,
+    )
+
+    from tee_optical_flow_tpu.models.convert import convert_prompt_autoencoder
+    from tee_optical_flow_tpu.models.prompt_encoder import PromptAutoEncoder
+
+    _torch_seed()
+    tpae = TorchPAE(image_embedding_size=(16, 16), input_image_size=(66, 66),
+                    mask_in_chans=16, embed_dim=32)
+    tpae.eval()
+    fpae = PromptAutoEncoder(image_embedding_size=(16, 16),
+                             input_image_size=(66, 66), mask_in_chans=16,
+                             embed_dim=32)
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 66, 66, 3)).astype(np.float32)
+    variables = fpae.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    params = jax.tree.map(np.asarray, variables["params"])
+    convert_prompt_autoencoder(tpae.state_dict(), params, prefix="",
+                               fprefix=())
+
+    sparse_f, dense_f = fpae.apply({"params": params}, jnp.asarray(img))
+    with torch.no_grad():
+        sparse_t, dense_t = tpae(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    assert sparse_f.shape == tuple(sparse_t.shape) == (2, 0, 32)
+    np.testing.assert_allclose(
+        np.asarray(dense_f).transpose(0, 3, 1, 2), dense_t.detach().numpy(),
+        atol=2e-5)
+
+
 @pytest.mark.slow
 def test_full_sam_conversion_structural():
     """Every torch Sam vit_t tensor maps onto our tree without shape errors."""
