@@ -332,6 +332,67 @@ def test_pallas_inner_block_matches_xla_interpret(rng):
                                    err_msg=name)
 
 
+def test_tiled_outer_eps_block(rng):
+    """The outer-granularity epsilon stop used by the tiled big-image
+    path (_tvl1_outer_eps_block, round 5): (a) a huge epsilon freezes
+    after exactly one outer block (median + one inner block); (b) a tiny
+    epsilon reproduces the fixed-budget loop bit-for-bit; (c) the
+    production epsilon converges to the fixed-budget answer."""
+    import functools
+
+    from jax import lax
+
+    from tee_optical_flow_tpu.ops.tvl1 import (
+        _tvl1_outer_eps_block, tvl1_inner_block_xla,
+    )
+    from tee_optical_flow_tpu.ops.warp import median_filter_5x5
+
+    b, h, w = 3, 40, 48
+
+    def f(scale):
+        return (rng.normal(size=(b, h, w)) * scale).astype(np.float32)
+
+    rho_c, i1wx, i1wy = f(5.0), f(3.0), f(3.0)
+    grad = i1wx * i1wx + i1wy * i1wy
+    u, v = f(0.5), f(0.5)
+    ps = [f(0.1) for _ in range(4)]
+    kw = dict(n_iters=10, l_t=0.15 * 0.3, theta=0.3, taut=0.25 / 0.3)
+    inner = functools.partial(tvl1_inner_block_xla, rho_c, i1wx, i1wy,
+                              grad, **kw)
+    outer_iters = 6
+
+    def fixed_budget():
+        def body(_, carry):
+            uu, vv, *pp = carry
+            uu = median_filter_5x5(uu)
+            vv = median_filter_5x5(vv)
+            return inner(uu, vv, *pp)
+        return lax.fori_loop(0, outer_iters, body, (u, v, *ps))
+
+    ref = fixed_budget()
+
+    # (a) huge epsilon: every pair converges after the first block
+    one = _tvl1_outer_eps_block(inner, u, v, *ps, outer_iters=outer_iters,
+                                use_median=True, epsilon=1e3)
+    manual = inner(median_filter_5x5(u), median_filter_5x5(v), *ps)
+    for a, c in zip(one, manual):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # (b) tiny epsilon: never stops early -> identical to fixed budget
+    full = _tvl1_outer_eps_block(inner, u, v, *ps, outer_iters=outer_iters,
+                                 use_median=True, epsilon=1e-9)
+    for name, a, c in zip("uv", ref, full):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                      err_msg=name)
+
+    # (c) production epsilon: close to the converged fixed-budget flow
+    prod = _tvl1_outer_eps_block(inner, u, v, *ps, outer_iters=outer_iters,
+                                 use_median=True, epsilon=0.01)
+    for name, a, c in zip("uv", ref, prod):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0.05,
+                                   err_msg=name)
+
+
 def test_pallas_fused_outer_loop_matches_xla_interpret(rng):
     """Interpret-mode parity of the fused whole-scale kernel (median +
     inner blocks x outer, one pallas_call per warp) vs the composed XLA
