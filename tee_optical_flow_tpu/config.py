@@ -243,9 +243,12 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     # numerics OpenCV's own DeepFlow runs (sorIterations / omega=1.6).
     # Round 5: replaced the damped-Jacobi solve, which under-converged
     # the low-data cavity (sector p95 0.13-0.22 px vs the converged
-    # fixed point; EPE_r05.json deepflow sections)
-    deepflow_iterations: int = 30
-    deepflow_psi_iterations: int = 5
+    # fixed point). The 3 x 12 schedule was picked by sweep at 480x640
+    # echo content: sector p95 vs the 4x-depth converged float64 oracle
+    # 0.031-0.043 px (psi5/sor30 buys only 0.023-0.033 at 19% lower
+    # fps); EPE_r05.json deepflow_matching carries the floor numbers
+    deepflow_iterations: int = 12
+    deepflow_psi_iterations: int = 3
     deepflow_omega: float = 1.6
     deepflow_nscales: int = 5
     # DeepFlow matching term: patch-NCC cost-volume matches at the two

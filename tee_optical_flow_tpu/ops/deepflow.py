@@ -7,8 +7,10 @@ smoothness term (Weinzaepfel et al., ICCV 2013). This backend implements
 both halves TPU-natively:
 
 - the variational refinement — coarse-to-fine warping with intensity +
-  gradient constancy solved by fixed-point Jacobi sweeps — batched over
-  frame pairs like the TV-L1 kernel; and
+  gradient constancy solved by a fixed-point scheme of lagged-
+  nonlinearity (psi) recomputes x red-black SOR sweeps (omega=1.6, the
+  relaxation OpenCV's own DeepFlow runs) — batched over frame pairs
+  like the TV-L1 kernel; and
 - the matching term: dense patch-NCC cost volumes over a bounded integer
   search window at the two coarsest pyramid levels (built from static
   shifts, no gathers), forward-backward verified, entering the energy as
@@ -285,7 +287,7 @@ def _sor_sweeps(i0, i1w, i1wx, i1wy, i1wxx, i1wxy, i1wyy, u0, v0, *,
 def deepflow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
                    alpha: float = 8.0, delta: float = 0.5, gamma: float = 5.0,
                    nscales: int = 5, zoom: float = 0.5,
-                   iters: int = 30, psi_iters: int = 5, omega: float = 1.6,
+                   iters: int = 12, psi_iters: int = 3, omega: float = 1.6,
                    matching: bool = True,
                    match_radius: int = 4, beta: float = 0.3,
                    fp_iters: int = 3, max_disp: int = 16,
@@ -406,7 +408,7 @@ def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.nda
 
     on_tpu = on_tpu_backend()
     params = dict(alpha=8.0, delta=0.5, gamma=5.0, nscales=5, zoom=0.5,
-                  iters=30, psi_iters=5, omega=1.6,
+                  iters=12, psi_iters=3, omega=1.6,
                   matching=True, match_radius=4, beta=0.3,
                   fp_iters=3, max_disp=16, use_pallas=on_tpu,
                   interpolation="bicubic")
