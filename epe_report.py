@@ -413,10 +413,13 @@ def main() -> None:
         SCHEDULE's truncation, which both implementations share (OpenCV's
         own DeepFlow truncates at sorIterations the same way):
         ``schedule_truncation_floor`` = oracle@schedule vs oracle@4x,
-        and ``converged_gap_explained`` checks per case that the
-        solver's distance to the fixed point is accounted for by that
-        floor plus the matched-protocol error — i.e. the solver adds no
-        divergence of its own."""
+        and ``converged_gap_explained`` is a HEURISTIC consistency
+        indicator: per case, solver-vs-converged p95 <= floor p95 +
+        matched-protocol p95. Percentiles are not additive, so this is
+        not a theorem in either direction — it flags gross localized
+        solver divergence (which would blow the left side past both
+        right-side terms), nothing finer. The quantitative claims are
+        the per-case values themselves."""
         sec = _section(case_dict)
         floors, convs, explained = [], [], []
         for c in case_dict.values():

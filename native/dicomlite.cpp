@@ -534,6 +534,7 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
       predictor = seg[1 + 2 * scan_ncomp];      // Ss
       pt = seg[3 + 2 * scan_ncomp] & 0x0F;      // Al = point transform
       if (predictor < 1 || predictor > 7) return DICOM_E_UNSUPPORTED;
+      if (pt >= precision) return DICOM_E_FORMAT;  // shift would be UB
       scan_start = pos + seg_len;
       break;  // entropy-coded data follows
     }
@@ -551,8 +552,11 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
   const uint16_t mask16 = 0xFFFF;
   int mcu_count = 0;
   // rows decoded since the last restart: restart resets prediction to the
-  // scan-start state (T.81 H.2.3) — the restart row behaves like row 0
+  // scan-start state (T.81 H.2.3) — the restart row behaves like row 0.
+  // reset_pending marks the single MCU right after a restart (or scan
+  // start), whose samples predict from the default value even mid-row.
   int row_since_reset = 0;
+  bool reset_pending = false;
   bool err = false;
 
   for (int y = 0; y < rows; ++y, ++row_since_reset) {
@@ -561,6 +565,7 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
         if (!br.consume_rst()) return DICOM_E_FORMAT;
         mcu_count = 0;
         row_since_reset = 0;
+        reset_pending = true;  // default prediction even when x > 0
       }
       for (int ci = 0; ci < ncomp; ++ci) {
         int s = decode_symbol(br, tables[scan_comp_table[ci]]);
@@ -570,7 +575,7 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
         uint16_t* plane = out + ci;
         int64_t idx = (static_cast<int64_t>(y) * cols + x) * ncomp;
         int32_t px;
-        if (row_since_reset == 0 && x == 0) {
+        if (reset_pending || (row_since_reset == 0 && x == 0)) {
           px = default_px;
         } else if (row_since_reset == 0) {
           px = plane[idx - ncomp];  // Ra
@@ -592,6 +597,7 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
         }
         plane[idx] = static_cast<uint16_t>((px + diff) & mask16);
       }
+      reset_pending = false;
       ++mcu_count;
     }
   }

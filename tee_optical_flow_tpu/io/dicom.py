@@ -348,6 +348,27 @@ def _rle_decode_frame(payload: bytes, rows: int, cols: int,
     return arr[..., 0] if samples == 1 else arr
 
 
+def group_jpeg_fragments(payloads: List[bytes], nframes: int) -> List[bytes]:
+    """DICOM encapsulation legally splits one JPEG frame across multiple
+    pixel-data fragments. When the fragment count already equals the
+    frame count, pass through; otherwise merge consecutive fragments
+    until one ends with the JPEG EOI marker (FFD9, ignoring the even-
+    length pad byte) — the frame boundary."""
+    if len(payloads) == nframes:
+        return list(payloads)
+    frames: List[bytes] = []
+    acc = bytearray()
+    for payload in payloads:
+        acc += payload
+        tail = bytes(acc[-3:])
+        if tail.endswith(b"\xff\xd9") or tail[:2] == b"\xff\xd9":
+            frames.append(bytes(acc))
+            acc = bytearray()
+    if acc:  # trailing data without EOI: keep as-is, decoder will reject
+        frames.append(bytes(acc))
+    return frames
+
+
 def decode_pixel_data(ds: DicomDataset) -> np.ndarray:
     raw = ds.get((0x7FE0, 0x0010))
     if raw is None:
@@ -362,6 +383,8 @@ def decode_pixel_data(ds: DicomDataset) -> np.ndarray:
 
     if isinstance(raw, list):  # encapsulated frames
         frames = []
+        if ts != RLE_LOSSLESS:  # JPEG family: frames may span fragments
+            raw = group_jpeg_fragments(raw, nframes)
         for payload in raw:
             if ts == RLE_LOSSLESS:
                 frames.append(_rle_decode_frame(payload, rows, cols, samples, bits))

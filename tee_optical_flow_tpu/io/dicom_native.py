@@ -47,10 +47,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.abspath(os.path.join(_NATIVE_DIR, "dicomlite.cpp"))
+        stale = (not os.path.exists(_LIB_PATH) or
+                 (os.path.exists(src) and
+                  os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+        if stale:
+            # also covers a previously-built .so that predates newly
+            # added symbols (e.g. dicom_jpegll_decode after a pull):
+            # make compares the same mtimes and rebuilds
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "dicom_jpegll_decode"):
+            # stale binary without the newest symbols and no source to
+            # rebuild from — run make once more (no-op if impossible) and
+            # retry; dlopen of the rebuilt file resolves fresh symbols
+            subprocess.run(["make", "-B", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
         lib.dicom_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_DicomInfo)]
         lib.dicom_parse.restype = ctypes.c_int
         lib.dicom_read_pixels.argtypes = [
@@ -165,13 +179,18 @@ def _decode_rle_stream(path: str, info: "_DicomInfo", lib) -> Optional[np.ndarra
 
 
 def _decode_jpegll_stream(path: str, info: "_DicomInfo") -> Optional[np.ndarray]:
+    from .dicom import group_jpeg_fragments
+
     rows, cols = int(info.rows), int(info.cols)
     samples = max(int(info.samples), 1)
-    frames = []
+    payloads = []
     for payload in _encapsulated_payloads(path, info):
         if payload is None:
             return None
-        arr = jpegll_decode_frame(bytes(payload))
+        payloads.append(bytes(payload))
+    frames = []
+    for payload in group_jpeg_fragments(payloads, max(int(info.frames), 1)):
+        arr = jpegll_decode_frame(payload)
         if arr is None:
             return None
         shape = (rows, cols) if samples == 1 else (rows, cols, samples)

@@ -64,22 +64,22 @@ class _BitWriter:
         self.nbits = 0
 
     def put(self, value: int, nbits: int):
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
-            self.acc <<= (8 - self.nbits)
-            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            byte = ((self.acc << (8 - self.nbits)) |
+                    ((1 << (8 - self.nbits)) - 1)) & 0xFF  # pad with 1s
+            self.out.append(byte)
+            if byte == 0xFF:
                 self.out.append(0x00)
             self.acc = 0
             self.nbits = 0
@@ -89,9 +89,15 @@ def _jll_marker(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def jpegll_encode_frame(frame: np.ndarray, precision: int = 8) -> bytes:
+def jpegll_encode_frame(frame: np.ndarray, precision: int = 8,
+                        restart_interval: int = 0) -> bytes:
     """Encode one (H, W) or (H, W, S) integer frame as a JPEG-Lossless
-    process-14 SV1 stream (interleaved components, point transform 0)."""
+    process-14 SV1 stream (interleaved components, point transform 0).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (prediction resets to the default value per T.81
+    H.2.3) — used by tests to exercise the decoder's restart path,
+    including restarts that fall mid-row."""
     if frame.ndim == 2:
         frame = frame[..., None]
     h, w, s = frame.shape
@@ -109,32 +115,68 @@ def jpegll_encode_frame(frame: np.ndarray, precision: int = 8) -> bytes:
     codes = _jll_codes()
     bw = _BitWriter()
     default_px = 1 << (precision - 1)
-    for y in range(h):
-        for x in range(w):
-            for ci in range(s):
-                if y == 0 and x == 0:
-                    px = default_px
-                elif y == 0:
-                    px = frame[y, x - 1, ci]      # Ra
-                elif x == 0:
-                    px = frame[y - 1, x, ci]      # Rb
-                else:
-                    px = frame[y, x - 1, ci]      # SV1: Ra
-                d = int(frame[y, x, ci] - px) & 0xFFFF
-                if d > 32768:
-                    d -= 65536
-                if d == 32768:
-                    ssss = 16
-                else:
-                    ssss = abs(d).bit_length()
-                code, length = codes[ssss]
+
+    if restart_interval == 0:
+        # vectorized SV1 prediction: Ra everywhere, Rb in the first
+        # column, the default at (0, 0); diffs modulo 2^16
+        px = np.empty_like(frame)
+        px[:, 1:, :] = frame[:, :-1, :]
+        px[1:, 0, :] = frame[:-1, 0, :]
+        px[0, 0, :] = default_px
+        diffs = (frame - px) & 0xFFFF
+        diffs = np.where(diffs > 32768, diffs - 65536, diffs).reshape(-1)
+        for d in diffs.tolist():  # interleaved raster order
+            if d == 32768:
+                bw.put(*codes[16])
+                continue
+            ssss = d.bit_length() if d >= 0 else (-d).bit_length()
+            code, length = codes[ssss]
+            if ssss:
+                v = d if d >= 0 else d + (1 << ssss) - 1
+                bw.put((code << ssss) | (v & ((1 << ssss) - 1)),
+                       length + ssss)
+            else:
                 bw.put(code, length)
-                if 0 < ssss < 16:
-                    v = d if d >= 0 else d + (1 << ssss) - 1
-                    bw.put(v & ((1 << ssss) - 1), ssss)
+    else:
+        mcu = 0
+        rst = 0
+        reset_pending = False
+        row_since_reset = 0
+        for y in range(h):
+            row_since_reset += 1
+            for x in range(w):
+                if mcu == restart_interval:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    mcu = 0
+                    row_since_reset = 0
+                    reset_pending = True
+                for ci in range(s):
+                    if reset_pending or (y == 0 and x == 0):
+                        px = default_px
+                    elif row_since_reset == 0 or y == 0:
+                        px = frame[y, x - 1, ci]      # Ra
+                    elif x == 0:
+                        px = frame[y - 1, x, ci]      # Rb
+                    else:
+                        px = frame[y, x - 1, ci]      # SV1: Ra
+                    d = int(frame[y, x, ci] - px) & 0xFFFF
+                    if d > 32768:
+                        d -= 65536
+                    ssss = 16 if d == 32768 else abs(d).bit_length()
+                    code, length = codes[ssss]
+                    bw.put(code, length)
+                    if 0 < ssss < 16:
+                        v = d if d >= 0 else d + (1 << ssss) - 1
+                        bw.put(v & ((1 << ssss) - 1), ssss)
+                reset_pending = False
+                mcu += 1
     bw.flush()
-    return (b"\xff\xd8" + _jll_marker(0xFFC4, dht) +
-            _jll_marker(0xFFC3, sof) + _jll_marker(0xFFDA, sos) +
+    head = b"\xff\xd8" + _jll_marker(0xFFC4, dht)
+    if restart_interval:
+        head += _jll_marker(0xFFDD, struct.pack(">H", restart_interval))
+    return (head + _jll_marker(0xFFC3, sof) + _jll_marker(0xFFDA, sos) +
             bytes(bw.out) + b"\xff\xd9")
 
 

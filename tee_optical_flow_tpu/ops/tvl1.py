@@ -179,13 +179,21 @@ def _tvl1_outer_eps_block(inner_block, u, v, p11, p12, p21, p22, *,
     iteration stopping needs a global error reduction every iteration,
     which the halo-tiled kernel cannot form without cross-tile
     synchronization; but between outer blocks control returns to XLA,
-    where the whole-block flow delta is a global reduction for free. A
-    pair freezes when its inner block moved less than epsilon^2 * area in
-    TOTAL; the block delta bounds the last-iteration delta OpenCV tests,
-    so this stops no earlier than OpenCV's criterion —
-    conservative-correct, and recovers the early-stop throughput the
-    fixed budget left on the table for resolutions that overflow the
-    fused-kernel VMEM bound.
+    where the whole-block flow delta is a global reduction for free.
+
+    Criterion: a pair freezes only after TWO CONSECUTIVE inner blocks
+    each moved less than epsilon^2 * area in total (net block delta).
+    This is a deliberately stricter energy-movement requirement than
+    OpenCV's single-iteration test — a whole 30-iteration block's NET
+    movement under the one-iteration tolerance, twice in a row. It is
+    not formally comparable to the per-iteration criterion (primal-dual
+    iterates can oscillate, so a small net delta does not bound the last
+    iteration's delta); the two-block hysteresis is what guards the
+    oscillation case — a pair mid-swing in one block must also come back
+    under threshold in the next before freezing. Conservative in
+    practice, and it recovers the early-stop throughput the fixed budget
+    left on the table for resolutions that overflow the fused-kernel
+    VMEM bound.
 
     ``inner_block(u, v, p11, p12, p21, p22) -> same 6-tuple`` runs one
     full inner-iteration block (Pallas tiled or XLA)."""
@@ -193,12 +201,12 @@ def _tvl1_outer_eps_block(inner_block, u, v, p11, p12, p21, p22, *,
     thresh = jnp.float32(epsilon * epsilon * hh * ww)
 
     def outer_cond(c):
-        i, err = c[0], c[1]
-        return (i < outer_iters) & jnp.any(err > thresh)
+        i, strikes = c[0], c[1]
+        return (i < outer_iters) & jnp.any(strikes < 2)
 
     def outer_body_eps(c):
-        i, err, u, v, p11, p12, p21, p22 = c
-        act = err > thresh
+        i, strikes, u, v, p11, p12, p21, p22 = c
+        act = strikes < 2
         m = act[:, None, None]
         if use_median:
             um = jnp.where(m, median_filter_5x5(u), u)
@@ -207,19 +215,21 @@ def _tvl1_outer_eps_block(inner_block, u, v, p11, p12, p21, p22, *,
             um, vm = u, v
         nu, nv, n11, n12, n21, n22 = inner_block(um, vm, p11, p12, p21, p22)
         derr = jnp.sum((nu - um) ** 2 + (nv - vm) ** 2, axis=(1, 2))
-        err = jnp.where(act, derr, err)
+        strikes = jnp.where(act,
+                            jnp.where(derr < thresh, strikes + 1, 0),
+                            strikes)
         u = jnp.where(m, nu, um)
         v = jnp.where(m, nv, vm)
         p11 = jnp.where(m, n11, p11)
         p12 = jnp.where(m, n12, p12)
         p21 = jnp.where(m, n21, p21)
         p22 = jnp.where(m, n22, p22)
-        return i + 1, err, u, v, p11, p12, p21, p22
+        return i + 1, strikes, u, v, p11, p12, p21, p22
 
-    err0 = jnp.full((bb,), jnp.inf, jnp.float32)
+    strikes0 = jnp.zeros((bb,), jnp.int32)
     _, _, u, v, p11, p12, p21, p22 = lax.while_loop(
         outer_cond, outer_body_eps,
-        (jnp.int32(0), err0, u, v, p11, p12, p21, p22))
+        (jnp.int32(0), strikes0, u, v, p11, p12, p21, p22))
     return u, v, p11, p12, p21, p22
 
 
@@ -456,10 +466,9 @@ def tvl1_flow_pairs(i0: jnp.ndarray, i1: jnp.ndarray, *,
     backends) so oracle comparisons stay deterministic — production sets
     0.01 via OpticalFlowCalculationConfig.tvl1_epsilon. Early stopping
     applies on every path: per inner iteration on the fused-Pallas and
-    XLA paths, and at outer-block granularity on the tiled big-image
-    kernel (whole-block delta bounds the last-iteration delta, so the
-    tiled path stops no earlier than OpenCV's criterion — round 5, see
-    _tvl1_scale).
+    XLA paths, and at outer-block granularity with two-quiet-blocks
+    hysteresis on the tiled big-image kernel (round 5, see
+    _tvl1_outer_eps_block).
 
     ``gamma`` > 0 enables OpenCV DualTVL1's illumination term (a third
     primal field absorbing additive brightness change; see

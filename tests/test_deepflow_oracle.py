@@ -55,11 +55,14 @@ def test_deepflow_backend_matches_brox_oracle(rng):
     i1 = ndimage.map_coordinates(img, [yy + v, xx + u], order=3,
                                  mode="nearest")
 
+    # matched-count protocol at the round-5 production schedule (the
+    # solver now runs the oracle's exact psi x red-black-SOR numerics)
     golden = deepflow_flow_oracle(img, i1, nscales=3, fp_iters=3,
-                                  psi_iters=5, sor_iters=30)
+                                  psi_iters=3, sor_iters=12, omega=1.6)
     ours = np.asarray(deepflow_pairs(
         jnp.asarray(img[None], jnp.float32), jnp.asarray(i1[None], jnp.float32),
-        nscales=3, matching=False, iters=25, fp_iters=3))[0]
+        nscales=3, matching=False, iters=12, psi_iters=3, omega=1.6,
+        fp_iters=3))[0]
     err = epe(ours, golden)[8:-8, 8:-8]
     assert np.median(err) < 0.06, f"median EPE {np.median(err):.4f}"
     assert np.percentile(err, 95) < 0.15, \
@@ -84,11 +87,12 @@ def test_deepflow_echo_masked_contract(rng):
 
     h, w = 120, 160
     i0, i1 = make_echo_pair(100, h, w, contraction=0.05)
-    golden = deepflow_flow_oracle(i0, i1, fp_iters=3, psi_iters=5,
-                                  sor_iters=30, alpha=8.0, delta=0.5,
-                                  gamma=5.0, nscales=3, zoom=0.5)
+    golden = deepflow_flow_oracle(i0, i1, fp_iters=3, psi_iters=3,
+                                  sor_iters=12, omega=1.6, alpha=8.0,
+                                  delta=0.5, gamma=5.0, nscales=3, zoom=0.5)
     ours = np.asarray(deepflow_pairs(
-        jnp.asarray(i0[None]), jnp.asarray(i1[None]), iters=25, fp_iters=3,
+        jnp.asarray(i0[None]), jnp.asarray(i1[None]), iters=12, psi_iters=3,
+        omega=1.6, fp_iters=3,
         matching=False, alpha=8.0, delta=0.5, gamma=5.0, nscales=3,
         zoom=0.5, interpolation="bicubic"))[0]
     err = epe(ours, golden)

@@ -118,6 +118,63 @@ def test_jpegll_frame_16bit_and_predictors(rng):
     np.testing.assert_array_equal(dec, f16)
 
 
+def test_jpegll_restart_markers_and_fragmented_frames(tmp_path, rng):
+    """Spec-coverage pins for two conformant-encoder behaviors the first
+    JPEG-Lossless cut would have mis-handled (round-5 review): restart
+    markers whose interval is NOT a row multiple (prediction must reset
+    to the default value mid-row, T.81 H.2.3), and single frames split
+    across multiple encapsulated pixel-data fragments."""
+    import struct as _struct
+
+    from tee_optical_flow_tpu.io.dicom_native import (
+        jpegll_decode_frame, native_available,
+    )
+    from tee_optical_flow_tpu.io.dicom_write import jpegll_encode_frame
+
+    if not native_available():
+        pytest.skip("native dicomlite unavailable")
+    frame = rng.integers(0, 256, size=(19, 29), dtype=np.uint8)
+    # 29 cols, interval 23 -> every restart falls mid-row
+    enc = jpegll_encode_frame(frame, restart_interval=23)
+    np.testing.assert_array_equal(jpegll_decode_frame(enc), frame)
+
+    # fragmented encapsulation: one frame split into 3 fragments
+    clip = _synthetic_clip(rng, n=2)
+    path = str(tmp_path / "frag.dcm")
+    write_dicom_clip(path, clip, transfer_syntax="jpeg_lossless")
+    raw = open(path, "rb").read()
+    # rewrite the encapsulated stream: split every frame item in two
+    marker = _struct.pack("<HH", 0x7FE0, 0x0010)
+    pix = raw.index(marker)
+    head, stream = raw[:pix], raw[pix:]
+    items = []
+    pos = 12  # tag + OB + reserved + undefined length
+    while pos + 8 <= len(stream):
+        g, e, ln = _struct.unpack_from("<HHI", stream, pos)
+        pos += 8
+        if (g, e) == (0xFFFE, 0xE0DD):
+            break
+        payload = stream[pos:pos + ln]
+        pos += ln
+        items.append(payload)
+    bot, frames = items[0], items[1:]
+    out = stream[:12] + _struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot
+    for payload in frames:
+        cut = (len(payload) // 2) & ~1  # even split point
+        for part in (payload[:cut], payload[cut:]):
+            part = part + (b"\x00" if len(part) % 2 else b"")
+            out += _struct.pack("<HHI", 0xFFFE, 0xE000, len(part)) + part
+    out += _struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    frag_path = str(tmp_path / "frag2.dcm")
+    with open(frag_path, "wb") as f:
+        f.write(head + out)
+
+    _, arr = read_dicom_clip(frag_path)
+    np.testing.assert_array_equal(arr, clip)
+    ds = dcmread(frag_path)
+    np.testing.assert_array_equal(ds.pixel_array, clip)
+
+
 def test_jpegll_without_native_raises(tmp_path, rng, monkeypatch):
     """When the native decoder is unavailable, a JPEG-Lossless clip must
     raise DICOMReadError with a clear message — never silently

@@ -242,3 +242,46 @@ def test_weighted_ce_and_visutils(tmp_path):
     iou, dice = eval_seg(rng2.normal(size=(16, 16)),
                          rng2.integers(0, 2, size=(16, 16)))
     assert 0 <= iou <= 1 and 0 <= dice <= 1
+
+
+def test_bench_readme_regeneration(tmp_path, monkeypatch):
+    """bench._update_readme rewrites only the block between BENCH markers
+    from the run's measured numbers and tracks best-ever records with
+    direction-aware comparison (round 5: the README perf table is
+    machine-generated so it cannot drift from `python bench.py`)."""
+    import json
+
+    import bench
+
+    readme = tmp_path / "README.md"
+    records = tmp_path / "BENCH_BEST.json"
+    readme.write_text("# Title\n\n<!-- BENCH:BEGIN -->\nold\n"
+                      "<!-- BENCH:END -->\n\n## After\n")
+    records.write_text(json.dumps({
+        "tvl1_flow_frames_per_sec_per_chip_480x640":
+            {"value": 41.4, "link_MBps": None},
+        "dicom_to_hdf5_clip_seconds_steady_state_33f_480x640":
+            {"value": 4.1, "link_MBps": 80.0},
+    }))
+    monkeypatch.setattr(bench, "_README", str(readme))
+    monkeypatch.setattr(bench, "_RECORDS", str(records))
+    monkeypatch.setattr(bench, "_SUMMARY", {
+        "tvl1_flow_frames_per_sec_per_chip_480x640": 42.0,   # new record
+        "dicom_to_hdf5_clip_seconds_steady_state_33f_480x640": 5.0,  # worse
+        "deepflow_frames_per_sec_per_chip_480x640": 56.0,    # first entry
+    })
+    bench._update_readme(99.5)
+
+    text = readme.read_text()
+    assert text.startswith("# Title") and text.rstrip().endswith("## After")
+    assert "old" not in text
+    assert "| TV-L1 dense flow | 42.0 | 42.0 (99.5) |" in text
+    assert "| DICOM -> HDF5 end to end | 5.0 | 4.1 (80.0) |" in text
+    rec = json.loads(records.read_text())
+    assert rec["tvl1_flow_frames_per_sec_per_chip_480x640"]["value"] == 42.0
+    assert rec["dicom_to_hdf5_clip_seconds_steady_state_33f_480x640"][
+        "value"] == 4.1  # lower-is-better record kept
+    assert rec["deepflow_frames_per_sec_per_chip_480x640"]["value"] == 56.0
+    # idempotent: a second regeneration still finds exactly one block
+    bench._update_readme(99.5)
+    assert readme.read_text().count("BENCH:BEGIN") == 1

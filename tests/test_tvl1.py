@@ -335,9 +335,10 @@ def test_pallas_inner_block_matches_xla_interpret(rng):
 def test_tiled_outer_eps_block(rng):
     """The outer-granularity epsilon stop used by the tiled big-image
     path (_tvl1_outer_eps_block, round 5): (a) a huge epsilon freezes
-    after exactly one outer block (median + one inner block); (b) a tiny
-    epsilon reproduces the fixed-budget loop bit-for-bit; (c) the
-    production epsilon converges to the fixed-budget answer."""
+    after exactly TWO outer blocks (the two-consecutive-quiet-blocks
+    hysteresis); (b) a tiny epsilon reproduces the fixed-budget loop
+    bit-for-bit; (c) the production epsilon converges to the
+    fixed-budget answer."""
     import functools
 
     from jax import lax
@@ -371,10 +372,12 @@ def test_tiled_outer_eps_block(rng):
 
     ref = fixed_budget()
 
-    # (a) huge epsilon: every pair converges after the first block
+    # (a) huge epsilon: every pair freezes after two quiet blocks
     one = _tvl1_outer_eps_block(inner, u, v, *ps, outer_iters=outer_iters,
                                 use_median=True, epsilon=1e3)
     manual = inner(median_filter_5x5(u), median_filter_5x5(v), *ps)
+    manual = inner(median_filter_5x5(manual[0]),
+                   median_filter_5x5(manual[1]), *manual[2:])
     for a, c in zip(one, manual):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
