@@ -1,0 +1,116 @@
+"""Headline-derivation tests for epe_report.build_report.
+
+The EPE report's ``north_star_met`` is a composite derived from this
+run's measured booleans (VERDICT r4 next #4 / weak #5): the
+matched-iteration eps=0 bicubic protocol must meet every target
+outright, and the shipped eps=0.01 production config must meet the wall
+contract outright plus the sector contract within each case's own
+measured stopping-noise floor. These tests pin that derivation (and the
+--rederive round-trip) on synthetic case dicts so a logic regression
+cannot silently flip the headline of a 70-minute oracle run.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import epe_report as er  # noqa: E402
+
+
+def _case(median=0.01, p95=0.02):
+    return {"interior": {"median_px": median, "p95_px": p95,
+                         "p99_px": p95 * 1.5, "max_px": p95 * 3}}
+
+
+def _echo(sector_p95=0.05, wall_p95=0.04, floor_sector=None,
+          floor_wall=0.07):
+    c = _case()
+    c["sector"] = {"median_px": 0.01, "p95_px": sector_p95,
+                   "p99_px": sector_p95 * 2, "max_px": sector_p95 * 5}
+    c["wall"] = {"median_px": 0.01, "p95_px": wall_p95,
+                 "p99_px": wall_p95 * 2, "max_px": wall_p95 * 5}
+    if floor_sector is not None:
+        c["stopping_noise_floor"] = {
+            "interior": {"median_px": 0.12, "p95_px": 1.5,
+                         "p99_px": 2.0, "max_px": 2.5},
+            "sector": {"p95_px": floor_sector},
+            "wall": {"p95_px": floor_wall},
+        }
+    return c
+
+
+def _build(prod_echo):
+    cubic = {"textured_0": _case(), "echo_0": _echo()}
+    return er.build_report(
+        cases={"textured_0": _case(0.05, 0.08)},
+        cubic_cases=cubic, prod_cases={"echo_0": prod_echo},
+        eps_cases={}, df_cases={}, df_match_cases={},
+        resolution=[48, 64], backend="cpu")
+
+
+def test_headline_true_when_sector_within_floor():
+    """The shipped config missing the raw 0.1 px sector threshold but
+    sitting inside its own case's stopping-noise floor keeps the
+    composite north star TRUE, with the raw flag still False."""
+    r = _build(_echo(sector_p95=0.105, floor_sector=0.13))
+    assert r["north_star_met"] is True
+    assert r["sector_masked_p95_met"] is False
+    assert r["sector_p95_within_stopping_noise"] is True
+    d = r["north_star_derivation"]
+    assert d["matched_iteration_bicubic_all_met"] is True
+    assert d["production_sector_met_raw"] is False
+    assert d["production_sector_within_stopping_noise"] is True
+    assert "within the stopping-noise floor" in r["status"]
+
+
+def test_headline_false_when_sector_exceeds_floor():
+    r = _build(_echo(sector_p95=0.2, floor_sector=0.13))
+    assert r["north_star_met"] is False
+    assert "NOT met" in r["tvl1_production"]["status"]
+
+
+def test_headline_false_when_wall_fails():
+    r = _build(_echo(sector_p95=0.05, wall_p95=0.2, floor_sector=0.13))
+    assert r["north_star_met"] is False
+    assert r["north_star_derivation"]["production_wall_met_outright"] \
+        is False
+
+
+def test_headline_false_when_matched_iteration_fails():
+    cubic = {"echo_0": _echo(sector_p95=0.15)}
+    r = er.build_report(
+        cases={}, cubic_cases=cubic,
+        prod_cases={"echo_0": _echo(sector_p95=0.05, floor_sector=0.13)},
+        eps_cases={}, df_cases={}, df_match_cases={},
+        resolution=[48, 64], backend="cpu")
+    assert r["north_star_met"] is False
+    assert r["north_star_derivation"][
+        "matched_iteration_bicubic_all_met"] is False
+
+
+def test_skip_epsilon_fallback_headline():
+    """No production section: headline falls back to the
+    matched-iteration protocol and says so."""
+    r = er.build_report(
+        cases={}, cubic_cases={"echo_0": _echo()}, prod_cases={},
+        eps_cases={}, df_cases={}, df_match_cases={},
+        resolution=[48, 64], backend="cpu")
+    assert r["north_star_met"] is True
+    assert "tvl1_production" not in r
+    assert "skip-epsilon" in r["north_star_protocol"]
+
+
+def test_rederive_round_trip(tmp_path, capsys):
+    """rederive() rebuilds the identical report from its own stored
+    cases — the summary logic is a pure function of the case dicts."""
+    r = _build(_echo(sector_p95=0.105, floor_sector=0.13))
+    p = tmp_path / "epe.json"
+    er._write_report(str(p), r)
+    capsys.readouterr()
+    er.rederive(str(p))
+    capsys.readouterr()
+    with open(p) as f:
+        r2 = json.load(f)
+    assert r2 == json.loads(json.dumps(r))
