@@ -537,12 +537,16 @@ def _update_readme(link) -> None:
         "|---|---|---|---|",
     ]
     for metric, label, _, note in _README_ROWS:
-        if metric not in _SUMMARY:
-            continue
         rec = records.get(metric, {})
+        if metric not in _SUMMARY and not rec:
+            continue
+        # a metric this run skipped (e.g. a stage failed defensively)
+        # keeps its row with its best-ever record — a partial run must
+        # not silently delete published rows (round-5 review)
+        this = _SUMMARY.get(metric, "—")
         best = (f"{rec.get('value')} ({rec.get('link_MBps') or 'link unrecorded'})"
                 if rec else "-")
-        lines.append(f"| {label} | {_SUMMARY[metric]} | {best} | {note} |")
+        lines.append(f"| {label} | {this} | {best} | {note} |")
     lines += [
         "",
         "Accuracy against the reference algorithms is pinned by "

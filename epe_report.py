@@ -81,7 +81,7 @@ def _df_prod_counts() -> dict:
     c = OpticalFlowCalculationConfig()
     return dict(fp_iters=c.deepflow_fp_iterations,
                 psi_iters=c.deepflow_psi_iterations,
-                sor_iters=c.deepflow_iterations,
+                sor_iters=c.deepflow_sor_iterations,
                 omega=c.deepflow_omega)
 
 INTERIOR = 8  # px border band excluded everywhere
@@ -502,12 +502,17 @@ def build_report(cases, cubic_cases, prod_cases, eps_cases, df_cases,
         and bicubic_sec["wall_masked_p95_met"] is not False
         and bicubic_sec["sector_masked_p95_met"] is not False)
     if prod_sec is not None:
-        prod_wall = prod_sec["wall_masked_p95_met"] is not False
-        prod_sector_raw = bool(prod_sec["sector_masked_p95_met"])
-        prod_sector_floor = bool(
-            prod_sec.get("sector_p95_within_stopping_noise"))
+        # None = not measured this run (e.g. no echo cases): excluded
+        # from the composite and echoed as null in the derivation, so
+        # the headline can never contradict its own conjuncts
+        prod_wall = prod_sec["wall_masked_p95_met"]
+        prod_sector_raw = prod_sec["sector_masked_p95_met"]
+        prod_sector_floor = prod_sec.get(
+            "sector_p95_within_stopping_noise")
         prod_contract_met = bool(
-            prod_wall and (prod_sector_raw or prod_sector_floor))
+            prod_wall is not False
+            and not (prod_sector_raw is False
+                     and prod_sector_floor is not True))
         protocol = (
             "composite: (a) matched-iteration eps=0 bicubic protocol "
             "(identical iteration counts both sides — the only protocol "
@@ -536,17 +541,16 @@ def build_report(cases, cubic_cases, prod_cases, eps_cases, df_cases,
         "north_star_derivation": {
             "matched_iteration_bicubic_all_met": matched_met,
             "production_wall_met_outright": (
-                bool(prod_sec["wall_masked_p95_met"])
-                if prod_sec else None),
+                prod_sec["wall_masked_p95_met"] if prod_sec else None),
             "production_sector_met_raw": (
-                bool(prod_sec["sector_masked_p95_met"])
-                if prod_sec else None),
+                prod_sec["sector_masked_p95_met"] if prod_sec else None),
             "production_sector_within_stopping_noise": (
-                bool(prod_sec.get("sector_p95_within_stopping_noise"))
+                prod_sec.get("sector_p95_within_stopping_noise")
                 if prod_sec else None),
             "note": (
                 "north_star_met = matched AND wall AND (sector_raw OR "
-                "sector_within_floor). The production protocol's "
+                "sector_within_floor); null = not measured this run, "
+                "excluded from the composite. The production protocol's "
                 "unmasked interior median is floor-dominated (each echo "
                 "case's own stopping-noise floor exceeds the target — "
                 "see tvl1_production cases) and the pipeline consumes "

@@ -354,12 +354,16 @@ struct BitReader {
       if (pos >= size) return -1;
       uint8_t b = data[pos++];
       if (b == 0xFF) {
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker; skip the run (libjpeg does the same). FF 00 after the
+        // run is a stuffed data 0xFF, anything else is a real marker.
+        while (pos < size && data[pos] == 0xFF) ++pos;
         if (pos >= size) return -1;
         uint8_t b2 = data[pos++];
         if (b2 != 0x00) {  // a real marker terminates entropy data
           marker_hit = true;
           marker = b2;
-          pos -= 2;
+          pos -= 2;  // data[pos] is the last 0xFF, data[pos+1] the code
           return -1;
         }
       }
@@ -370,14 +374,17 @@ struct BitReader {
     return (bits >> nbits) & 1;
   }
 
-  // align to byte + consume an expected RSTn marker
+  // align to byte + consume an expected RSTn marker (fill bytes allowed)
   bool consume_rst() {
     nbits = 0;
     marker_hit = false;
-    if (pos + 2 > size || data[pos] != 0xFF) return false;
-    uint8_t m = data[pos + 1];
+    size_t q = pos;
+    if (q >= size || data[q] != 0xFF) return false;
+    while (q + 1 < size && data[q + 1] == 0xFF) ++q;  // fill bytes
+    if (q + 2 > size) return false;
+    uint8_t m = data[q + 1];
     if (m < 0xD0 || m > 0xD7) return false;
-    pos += 2;
+    pos = q + 2;
     return true;
   }
 };
@@ -470,6 +477,10 @@ int64_t dicom_jpegll_decode(const uint8_t* payload, int64_t payload_size,
 
   while (pos + 4 <= size) {
     if (p[pos] != 0xFF) return DICOM_E_FORMAT;
+    // fill bytes: a marker may be preceded by any number of 0xFF
+    // (T.81 B.1.1.2)
+    while (pos + 1 < size && p[pos + 1] == 0xFF) ++pos;
+    if (pos + 4 > size) return DICOM_E_FORMAT;
     uint8_t m = p[pos + 1];
     pos += 2;
     if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;  // no payload

@@ -33,10 +33,28 @@ def _asdict(cfg: Any) -> Any:
     return cfg
 
 
+# keys whose FIELD was renamed because its meaning changed: silently
+# ignoring them (the unknown-key rule) or silently remapping them would
+# both mis-run a persisted config, so they fail loudly with migration
+# guidance instead
+_RETIRED_KEYS = {
+    "deepflow_iterations":
+        "renamed to deepflow_sor_iterations in round 5 — the DeepFlow "
+        "solver moved from damped Jacobi (this key counted TOTAL "
+        "iterations) to red-black SOR (the new key counts sweeps PER "
+        "psi round, x deepflow_psi_iterations rounds). Re-tune: the "
+        "production default is deepflow_sor_iterations=12 with "
+        "deepflow_psi_iterations=3.",
+}
+
+
 def _fromdict(cls: type, data: dict) -> Any:
     kwargs = {}
     known = {f.name: f for f in fields(cls)}
     for key, value in data.items():
+        if key in _RETIRED_KEYS and key not in known:
+            raise ConfigurationError(
+                f"config key '{key}': {_RETIRED_KEYS[key]}")
         if key not in known:
             continue  # forward compatible: ignore unknown keys
         ftype = known[key].type
@@ -246,8 +264,12 @@ class OpticalFlowCalculationConfig(_JsonMixin):
     # fixed point). The 3 x 12 schedule was picked by sweep at 480x640
     # echo content: sector p95 vs the 4x-depth converged float64 oracle
     # 0.031-0.043 px (psi5/sor30 buys only 0.023-0.033 at 19% lower
-    # fps); EPE_r05.json deepflow_matching carries the floor numbers
-    deepflow_iterations: int = 12
+    # fps); EPE_r05.json deepflow_matching carries the floor numbers.
+    # RENAMED in round 5 from ``deepflow_iterations`` (which counted
+    # TOTAL damped-Jacobi iterations): a persisted round-4 value of 25
+    # would silently mean 25 sweeps x psi rounds under the new solver,
+    # so old JSONs fail loudly instead (see _RETIRED_KEYS)
+    deepflow_sor_iterations: int = 12
     deepflow_psi_iterations: int = 3
     deepflow_omega: float = 1.6
     deepflow_nscales: int = 5

@@ -158,7 +158,7 @@ def compute_clip_flow_sharded(images, mesh, of_algo: str = "TVL1",
         flow = deepflow_pairs(i0, i1, alpha=config.deepflow_alpha,
                               delta=config.deepflow_delta,
                               gamma=config.deepflow_gamma,
-                              iters=config.deepflow_iterations,
+                              iters=config.deepflow_sor_iterations,
                               psi_iters=config.deepflow_psi_iterations,
                               omega=config.deepflow_omega,
                               nscales=config.deepflow_nscales,

@@ -59,12 +59,31 @@ def _load() -> Optional[ctypes.CDLL]:
                            check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         if not hasattr(lib, "dicom_jpegll_decode"):
-            # stale binary without the newest symbols and no source to
-            # rebuild from — run make once more (no-op if impossible) and
-            # retry; dlopen of the rebuilt file resolves fresh symbols
+            # stale binary without the newest symbols (mtimes can lie —
+            # preserved-mtime copies, branch switches): force a rebuild,
+            # then load it via a unique temp copy. Re-dlopen of the SAME
+            # path can return the stale in-process mapping (glibc caches
+            # by pathname and dev/inode), so a fresh pathname is the
+            # only reliable way to resolve the new symbols.
+            import shutil
+            import tempfile
+
             subprocess.run(["make", "-B", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
+            fd, tmp_path = tempfile.mkstemp(suffix=".so",
+                                            prefix="dicomlite_")
+            os.close(fd)
+            try:
+                shutil.copy2(_LIB_PATH, tmp_path)
+                fresh = ctypes.CDLL(tmp_path)
+                if hasattr(fresh, "dicom_jpegll_decode"):
+                    lib = fresh
+            finally:
+                # the mapping keeps the inode alive; the name can go
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
         lib.dicom_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_DicomInfo)]
         lib.dicom_parse.restype = ctypes.c_int
         lib.dicom_read_pixels.argtypes = [
@@ -75,11 +94,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
         lib.dicom_rle_decode.restype = ctypes.c_int64
-        lib.dicom_jpegll_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32)]
-        lib.dicom_jpegll_decode.restype = ctypes.c_int64
+        if hasattr(lib, "dicom_jpegll_decode"):
+            lib.dicom_jpegll_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.dicom_jpegll_decode.restype = ctypes.c_int64
+        else:
+            # a missing optional symbol must not poison the whole native
+            # path: RLE/uncompressed decode keep working, JPEG-Lossless
+            # reads fall through to the loud DICOMReadError in io/dicom
+            logger.warning(
+                "libdicomlite.so lacks dicom_jpegll_decode even after "
+                "rebuild; JPEG-Lossless decode disabled, other native "
+                "paths kept")
         _lib = lib
     except Exception as exc:
         logger.info("native dicomlite unavailable (%s); using pure-Python parser", exc)
@@ -101,7 +129,7 @@ def jpegll_decode_frame(payload: bytes) -> Optional[np.ndarray]:
     (H, W) or (H, W, S) uint8/uint16, or None if the native library is
     unavailable or the stream is not a decodable lossless JPEG."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "dicom_jpegll_decode"):
         return None
     # capacity guess from the SOF3 header is overkill; retry-on-capacity
     # keeps the ABI simple (one frame is at most a few MB)

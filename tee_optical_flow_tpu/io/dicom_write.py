@@ -124,19 +124,34 @@ def jpegll_encode_frame(frame: np.ndarray, precision: int = 8,
         px[1:, 0, :] = frame[:-1, 0, :]
         px[0, 0, :] = default_px
         diffs = (frame - px) & 0xFFFF
-        diffs = np.where(diffs > 32768, diffs - 65536, diffs).reshape(-1)
-        for d in diffs.tolist():  # interleaved raster order
-            if d == 32768:
-                bw.put(*codes[16])
-                continue
-            ssss = d.bit_length() if d >= 0 else (-d).bit_length()
-            code, length = codes[ssss]
-            if ssss:
-                v = d if d >= 0 else d + (1 << ssss) - 1
-                bw.put((code << ssss) | (v & ((1 << ssss) - 1)),
-                       length + ssss)
-            else:
-                bw.put(code, length)
+        d = np.where(diffs > 32768, diffs - 65536, diffs).reshape(-1)
+        # vectorized entropy coding (round-5 review: the per-sample
+        # Python loop cost ~minutes per real clip). Per sample:
+        # Huffman(SSSS) then SSSS extra bits (none for SSSS=16), MSB
+        # first; assembled via per-bit-index scatter + packbits.
+        code_t = np.array([codes[i][0] for i in range(17)], np.int64)
+        clen_t = np.array([codes[i][1] for i in range(17)], np.int64)
+        pow2 = np.int64(1) << np.arange(17, dtype=np.int64)
+        a = np.abs(d)
+        ssss = np.searchsorted(pow2, a, side="right").astype(np.int64)
+        nextra = np.where(ssss == 16, 0, ssss)
+        extra = np.where(d >= 0, d, d + pow2[ssss] - 1) & (pow2[ssss] - 1)
+        extra = np.where(ssss == 16, 0, extra)
+        val = (code_t[ssss] << nextra) | extra
+        n = clen_t[ssss] + nextra
+        ends = np.cumsum(n)
+        offs = ends - n
+        total = int(ends[-1]) if n.size else 0
+        bits = np.ones((total + 7) & ~7, np.uint8)  # pad bits are 1s
+        for j in range(int(n.max()) if n.size else 0):
+            sel = n > j
+            bits[offs[sel] + j] = ((val[sel] >> (n[sel] - 1 - j)) & 1
+                                   ).astype(np.uint8)
+        by = np.packbits(bits)
+        ff = np.flatnonzero(by == 0xFF)
+        if ff.size:
+            by = np.insert(by, ff + 1, np.uint8(0))  # byte stuffing
+        bw.out += by.tobytes()
     else:
         mcu = 0
         rst = 0

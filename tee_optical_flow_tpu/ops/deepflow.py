@@ -415,7 +415,7 @@ def deepflow_clip_flow(frames: jnp.ndarray, config=None, **overrides) -> jnp.nda
     if config is not None:
         params.update(alpha=config.deepflow_alpha, delta=config.deepflow_delta,
                       gamma=config.deepflow_gamma,
-                      iters=config.deepflow_iterations,
+                      iters=config.deepflow_sor_iterations,
                       psi_iters=config.deepflow_psi_iterations,
                       omega=config.deepflow_omega,
                       nscales=config.deepflow_nscales,

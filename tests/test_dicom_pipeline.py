@@ -175,6 +175,35 @@ def test_jpegll_restart_markers_and_fragmented_frames(tmp_path, rng):
     np.testing.assert_array_equal(ds.pixel_array, clip)
 
 
+def test_jpegll_fill_bytes_before_markers(rng):
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede any
+    marker — before header segments, restart markers, and EOI. A
+    conformant third-party encoder may emit them; the decoder must skip
+    them instead of rejecting the stream (round-5 review)."""
+    from tee_optical_flow_tpu.io.dicom_native import (
+        jpegll_decode_frame, native_available,
+    )
+    from tee_optical_flow_tpu.io.dicom_write import jpegll_encode_frame
+
+    if not native_available():
+        pytest.skip("native dicomlite unavailable")
+    frame = rng.integers(0, 256, size=(19, 29), dtype=np.uint8)
+    enc = jpegll_encode_frame(frame, restart_interval=23)
+    out = bytearray()
+    i = 0
+    while i < len(enc):
+        if (enc[i] == 0xFF and i + 1 < len(enc)
+                and (0xD0 <= enc[i + 1] <= 0xD7   # RSTn (entropy data)
+                     or enc[i + 1] in (0xD9,      # EOI
+                                       0xC4,      # DHT (header)
+                                       0xDA))):   # SOS (header)
+            out += b"\xff\xff"  # two fill bytes before the marker
+        out.append(enc[i])
+        i += 1
+    assert len(out) > len(enc)  # the stream really was rewritten
+    np.testing.assert_array_equal(jpegll_decode_frame(bytes(out)), frame)
+
+
 def test_jpegll_without_native_raises(tmp_path, rng, monkeypatch):
     """When the native decoder is unavailable, a JPEG-Lossless clip must
     raise DICOMReadError with a clear message — never silently

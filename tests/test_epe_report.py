@@ -102,6 +102,22 @@ def test_skip_epsilon_fallback_headline():
     assert "skip-epsilon" in r["north_star_protocol"]
 
 
+def test_headline_unmeasured_masks_are_null_not_false():
+    """prod cases without echo masks (wall/sector flags None): the
+    conjunct is excluded from the composite and echoed as null — the
+    headline can never show True with a False-looking conjunct
+    (round-5 review)."""
+    r = er.build_report(
+        cases={}, cubic_cases={"textured_0": _case()},
+        prod_cases={"textured_0": _case()},
+        eps_cases={}, df_cases={}, df_match_cases={},
+        resolution=[48, 64], backend="cpu")
+    assert r["north_star_met"] is True
+    d = r["north_star_derivation"]
+    assert d["production_wall_met_outright"] is None
+    assert d["production_sector_met_raw"] is None
+
+
 def test_rederive_round_trip(tmp_path, capsys):
     """rederive() rebuilds the identical report from its own stored
     cases — the summary logic is a pure function of the case dicts."""

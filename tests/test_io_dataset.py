@@ -123,3 +123,19 @@ def test_config_validation():
     cfg = PipelineConfig(mode="bogus")
     with pytest.raises(ConfigurationError):
         validate_pipeline_config(cfg)
+
+
+def test_config_retired_key_fails_loudly():
+    """A persisted round-4 ``deepflow_iterations`` (total damped-Jacobi
+    iterations) must not be silently ignored or silently reinterpreted
+    as SOR sweeps (round-5 review): from_json raises with migration
+    guidance, while genuinely unknown keys stay forward-compatible."""
+    from tee_optical_flow_tpu.config import OpticalFlowCalculationConfig
+    from tee_optical_flow_tpu.exceptions import ConfigurationError
+
+    ok = OpticalFlowCalculationConfig.from_json(
+        '{"deepflow_sor_iterations": 7, "some_future_key": 1}')
+    assert ok.deepflow_sor_iterations == 7
+    with pytest.raises(ConfigurationError, match="deepflow_sor_iterations"):
+        OpticalFlowCalculationConfig.from_json(
+            '{"deepflow_iterations": 25}')

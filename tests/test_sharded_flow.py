@@ -106,7 +106,7 @@ def test_sharded_deepflow_branch(rng):
     frames = np.stack([_texture(rng, 32, 32) for _ in range(4)])
     cfg = OpticalFlowCalculationConfig(
         deepflow_matching=False, deepflow_fp_iterations=1,
-        deepflow_iterations=5, deepflow_nscales=2)
+        deepflow_sor_iterations=5, deepflow_nscales=2)
     mesh = make_mesh(8, 1)
     flow = np.asarray(compute_clip_flow_sharded(frames, mesh,
                                                 of_algo="deepflow",
